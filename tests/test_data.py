@@ -1,0 +1,160 @@
+"""Data layer tests: NIfTI IO, ADNI index, transforms, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from transmf_ad_tpu.data import (
+    ADNI,
+    AugmentConfig,
+    Loader,
+    VolumeSource,
+    augment_batch,
+    nifti,
+    spatial_pad,
+)
+
+
+class TestNifti:
+    def test_roundtrip_gz(self, tmp_path, rng):
+        vol = rng.standard_normal((7, 9, 5)).astype(np.float32)
+        p = str(tmp_path / "x.nii.gz")
+        nifti.save(p, vol)
+        out = nifti.load(p)
+        np.testing.assert_array_equal(out, vol)
+
+    def test_roundtrip_plain(self, tmp_path, rng):
+        vol = (rng.random((4, 4, 4)) * 100).astype(np.int16)
+        p = str(tmp_path / "x.nii")
+        nifti.save(p, vol)
+        out = nifti.load(p)
+        np.testing.assert_allclose(out, vol.astype(np.float32))
+
+    def test_torch_free_parity_with_scaling(self, tmp_path):
+        # Hand-build a header with scl_slope/inter and verify it's applied.
+        vol = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+        p = str(tmp_path / "scl.nii")
+        nifti.save(p, vol)
+        raw = bytearray(open(p, "rb").read())
+        import struct
+
+        struct.pack_into("<2f", raw, 112, 2.0, 1.0)  # slope 2, inter 1
+        open(p, "wb").write(bytes(raw))
+        out = nifti.load(p)
+        np.testing.assert_allclose(out, vol * 2.0 + 1.0)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.nii")
+        open(p, "wb").write(b"\x00" * 400)
+        with pytest.raises(ValueError):
+            nifti.load(p)
+
+
+class TestADNI:
+    def test_index_adcn(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        assert len(ds) == 8  # 4 CN + 4 AD
+        labels = sorted(d["label"] for d in ds.data_dict)
+        assert labels == [0] * 4 + [1] * 4
+        rec = ds.data_dict[0]
+        assert os.path.exists(rec["MRI"]) and os.path.exists(rec["PET"])
+
+    def test_index_pmcismci(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "pMCIsMCI")
+        assert len(ds) == 8
+        assert ds.label_dict == {"sMCI": 0, "pMCI": 1}
+
+    def test_index_mcicn_merges_positives(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "MCICN")
+        neg, pos = ds.class_counts()
+        assert (neg, pos) == (4.0, 8.0)  # CN vs sMCI+pMCI
+
+    def test_unknown_task(self, adni_root):
+        with pytest.raises(ValueError):
+            ADNI(adni_root, "ADNI.csv", "nope")
+
+
+class TestTransforms:
+    def test_spatial_pad_centered(self):
+        v = np.ones((3, 3, 3), np.float32)
+        out = spatial_pad(v, (5, 6, 3))
+        assert out.shape == (5, 6, 3)
+        assert out[1:4, 1:4, :].sum() == 27  # centered (odd diff pads trailing)
+        assert out.sum() == 27
+
+    def test_augment_identity_when_no_trigger(self, rng):
+        import jax
+
+        vol = rng.random((8, 10, 8)).astype(np.float32)
+        batch = {"MRI": np.stack([vol]), "PET": np.stack([vol])}
+        cfg = AugmentConfig(flip_prob=0.0, rotate_prob=0.0, zoom_prob=0.0)
+        keys = jax.random.split(jax.random.key(0), 1)
+        out = augment_batch(batch, keys, cfg)
+        np.testing.assert_allclose(np.asarray(out["MRI"][0]), vol, atol=1e-6)
+
+    def test_augment_flip_exact(self, rng):
+        import jax
+
+        vol = rng.random((8, 10, 8)).astype(np.float32)
+        batch = {"MRI": vol[None]}
+        cfg = AugmentConfig(flip_prob=1.0, rotate_prob=0.0, zoom_prob=0.0)
+        keys = jax.random.split(jax.random.key(0), 1)
+        out = np.asarray(augment_batch(batch, keys, cfg)["MRI"][0])
+        np.testing.assert_allclose(out, vol[::-1], atol=1e-5)
+
+    def test_augment_same_draw_across_modalities(self, rng):
+        import jax
+
+        vol = rng.random((8, 8, 8)).astype(np.float32)
+        batch = {"MRI": vol[None], "PET": vol[None]}
+        cfg = AugmentConfig(flip_prob=0.5, rotate_prob=1.0, zoom_prob=1.0)
+        keys = jax.random.split(jax.random.key(7), 1)
+        out = augment_batch(batch, keys, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out["MRI"][0]), np.asarray(out["PET"][0]), atol=1e-6
+        )
+
+    def test_zoom_shrinks_content(self, rng):
+        import jax
+
+        vol = np.zeros((16, 16, 16), np.float32)
+        vol[4:12, 4:12, 4:12] = 1.0
+        cfg = AugmentConfig(
+            flip_prob=0.0, rotate_prob=0.0, zoom_prob=1.0, min_zoom=0.5, max_zoom=0.5
+        )
+        keys = jax.random.split(jax.random.key(0), 1)
+        out = np.asarray(augment_batch({"x": vol[None]}, keys, cfg)["x"][0])
+        # zoom 0.5 halves the bright cube volume (8^3 -> ~4^3)
+        assert 40 <= out.sum() <= 90
+
+
+class TestLoader:
+    def test_batches_and_cache(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict)
+        loader = Loader(src, batch_size=3, shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 3  # 8 samples, no drop_last
+        assert batches[0]["MRI"].shape == (3, 24, 28, 24)
+        assert batches[-1]["MRI"].shape == (2, 24, 28, 24)
+        assert batches[0]["MRI"].max() <= 1.0 and batches[0]["MRI"].min() >= 0.0
+        assert batches[0]["label"].dtype == np.int32
+        # cache hit path returns identical data
+        again = list(Loader(src, batch_size=3, shuffle=False))
+        np.testing.assert_array_equal(batches[0]["PET"], again[0]["PET"])
+
+    def test_drop_last_and_shuffle_determinism(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict)
+        l1 = Loader(src, batch_size=3, shuffle=True, drop_last=True, seed=5)
+        l2 = Loader(src, batch_size=3, shuffle=True, drop_last=True, seed=5)
+        b1, b2 = list(l1), list(l2)
+        assert len(b1) == 2
+        np.testing.assert_array_equal(b1[0]["label"], b2[0]["label"])
+
+    def test_pad_to(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict, pad_to=(32, 32, 32))
+        b = next(iter(Loader(src, batch_size=2)))
+        assert b["MRI"].shape == (2, 32, 32, 32)

@@ -1,0 +1,180 @@
+"""Host-side data pipeline: decode -> cache -> batch -> prefetch -> device.
+
+The reference re-loads and re-transforms every NIfTI from disk every epoch
+through a single-threaded DataLoader (reference: kfold_train_adversarial.py:60-66,
+num_workers=0) — host decode is its throughput bottleneck. Here:
+
+ - decoded, intensity-normalized volumes are cached in host RAM after the
+   first epoch (`VolumeSource`);
+ - batches are assembled by a background thread into a bounded queue
+   (`Loader`), overlapping host work with device steps;
+ - `device_prefetch` keeps N batches in-flight on the device (double
+   buffering), placing them with an optional `jax.sharding.Sharding` so
+   data-parallel feeds land shard-by-shard over ICI.
+
+Random augmentations are NOT applied here — they are jitted device ops
+(see `transforms.augment_batch`), keyed per step inside the train loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from . import nifti
+from .transforms import spatial_pad
+
+VOLUME_KEYS = ("MRI", "PET")
+
+
+def _minmax(vol: np.ndarray) -> np.ndarray:
+    lo, hi = float(vol.min()), float(vol.max())
+    if hi <= lo:
+        return np.zeros_like(vol)
+    return (vol - lo) / (hi - lo)
+
+
+class VolumeSource:
+    """Decodes ADNI records to normalized float32 volumes, with a RAM cache."""
+
+    def __init__(
+        self,
+        records: Sequence[Dict],
+        keys: Sequence[str] = VOLUME_KEYS,
+        pad_to: Optional[tuple] = None,
+        normalize: bool = True,
+        cache: bool = True,
+    ):
+        self.records = list(records)
+        self.keys = tuple(keys)
+        self.pad_to = pad_to
+        self.normalize = normalize
+        self._cache: Optional[List] = [None] * len(self.records) if cache else None
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return len(self.records)
+
+    def _decode(self, rec: Dict) -> Dict:
+        out = {"label": np.int32(rec["label"])}
+        for k in self.keys:
+            vol = nifti.load(rec[k], dtype=np.float32)
+            if self.normalize:
+                vol = _minmax(vol)
+            if self.pad_to is not None:
+                vol = spatial_pad(vol, self.pad_to)
+            out[k] = vol
+        return out
+
+    def __getitem__(self, i: int) -> Dict:
+        if self._cache is None:
+            return self._decode(self.records[i])
+        item = self._cache[i]
+        if item is None:
+            item = self._decode(self.records[i])
+            with self._lock:
+                self._cache[i] = item
+        return item
+
+
+class Loader:
+    """Iterable over stacked numpy batches with background prefetch.
+
+    Matches reference loader semantics (batch, shuffle, drop_last); unlike
+    the reference it overlaps decode/stack with compute via a worker thread.
+    """
+
+    def __init__(
+        self,
+        source: VolumeSource,
+        indices: Optional[Sequence[int]] = None,
+        batch_size: int = 2,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.source = source
+        self.indices = np.asarray(
+            indices if indices is not None else np.arange(len(source)), dtype=np.int64
+        )
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = max(1, prefetch)
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        order = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n = len(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for s in range(0, stop, self.batch_size):
+            yield order[s : s + self.batch_size]
+
+    @staticmethod
+    def _stack(items: List[Dict]) -> Dict[str, np.ndarray]:
+        batch = {}
+        for k in items[0]:
+            batch[k] = np.stack([it[k] for it in items])
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def worker():
+            try:
+                for idx in self._batches():
+                    q.put(self._stack([self.source[int(i)] for i in idx]))
+                q.put(DONE)
+            except BaseException as e:  # surface decode errors in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+def device_prefetch(batches: Iterable[Dict], sharding=None, depth: int = 2):
+    """Move batches to device `depth` steps ahead of consumption.
+
+    With a `NamedSharding(mesh, P('data'))` this shards the leading batch
+    axis across the mesh's data axis as part of the host->HBM transfer.
+    """
+    import jax
+
+    def put(b):
+        if sharding is None:
+            return jax.tree_util.tree_map(jax.device_put, b)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), b)
+
+    buf: List = []
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    for nxt in it:
+        out = buf.pop(0)
+        buf.append(put(nxt))
+        yield out
+    while buf:
+        yield buf.pop(0)
