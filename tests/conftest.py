@@ -13,8 +13,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# The env var alone is not enough on machines whose TPU plugin rewrites
+# JAX_PLATFORMS (observed: 'cpu' -> 'axon,cpu'); pin it via config too.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: CPU-test compiles dominate suite runtime.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,290 @@
+"""NN block tests: shapes, torch parity for conv/BN, attention math,
+Pallas kernel parity (interpret mode), GRL gradients, losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transmf_ad_tpu import nn as tnn
+from transmf_ad_tpu.ops.flash_attention import (
+    attention_reference,
+    fused_attention,
+)
+
+
+class TestSNet:
+    def test_output_grid_tiny(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 24, 28, 24, 1)), jnp.float32)
+        model = tnn.SNet(dim=16)
+        params = model.init(jax.random.key(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (2, 1, 1, 1, 16)
+
+    def test_output_grid_reference_shape(self):
+        # 91x109x91 -> 5x6x5 token grid of width dim (SURVEY C4).
+        # Shape-only via eval_shape: no FLOPs, so full dim=128 is checked.
+        x = jax.ShapeDtypeStruct((2, 91, 109, 91, 1), jnp.float32)
+        model = tnn.SNet(dim=128)
+        variables = jax.eval_shape(model.init, jax.random.key(0), x)
+        out = jax.eval_shape(model.apply, variables, x)
+        assert out.shape == (2, 5, 6, 5, 128)
+
+    def test_train_mode_updates_batch_stats(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 1)), jnp.float32)
+        model = tnn.SNet(dim=8)
+        variables = model.init(jax.random.key(0), x, train=True)
+        out, updates = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        assert "batch_stats" in updates
+        leaf = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
+        assert np.abs(np.asarray(leaf)).sum() > 0
+
+
+class TestConvBNTorchParity:
+    def test_conv_bn_leaky_matches_torch(self, rng):
+        import torch
+
+        b, s, cin, cout = 2, 8, 3, 5
+        x = rng.standard_normal((b, s, s, s, cin)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32) * 0.1
+        bias = rng.standard_normal((cout,)).astype(np.float32)
+        gamma = rng.random(cout).astype(np.float32) + 0.5
+        beta = rng.standard_normal((cout,)).astype(np.float32)
+        mean = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+        var = rng.random(cout).astype(np.float32) + 0.5
+
+        block = tnn.ConvBNAct(cout, precision="highest")
+        variables = {
+            "params": {
+                "Conv_0": {"kernel": jnp.asarray(w), "bias": jnp.asarray(bias)},
+                "BatchNorm_0": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)},
+            },
+            "batch_stats": {
+                "BatchNorm_0": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}
+            },
+        }
+        ours = np.asarray(block.apply(variables, jnp.asarray(x), train=False))
+
+        with torch.no_grad():
+            tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # NDHWC -> NCDHW
+            tw = torch.from_numpy(w).permute(4, 3, 0, 1, 2)  # DHWIO -> OIDHW
+            y = torch.nn.functional.conv3d(tx, tw, torch.from_numpy(bias), padding=1)
+            y = torch.nn.functional.batch_norm(
+                y, torch.from_numpy(mean), torch.from_numpy(var),
+                torch.from_numpy(gamma), torch.from_numpy(beta), eps=1e-5,
+            )
+            y = torch.nn.functional.leaky_relu(y, 0.01)
+            theirs = y.permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    def test_max_avg_pool_floor_semantics(self, rng):
+        import torch
+
+        x = rng.standard_normal((1, 7, 9, 7, 2)).astype(np.float32)
+        ours_max = np.asarray(tnn.max_pool3d(jnp.asarray(x)))
+        ours_avg = np.asarray(tnn.avg_pool3d(jnp.asarray(x)))
+        with torch.no_grad():
+            tx = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+            tmax = torch.nn.functional.max_pool3d(tx, 2, 2).permute(0, 2, 3, 4, 1)
+            tavg = torch.nn.functional.avg_pool3d(tx, 2, 2).permute(0, 2, 3, 4, 1)
+        np.testing.assert_allclose(ours_max, tmax.numpy(), atol=1e-6)
+        np.testing.assert_allclose(ours_avg, tavg.numpy(), atol=1e-6)
+
+
+class TestAttention:
+    def _naive(self, x, ctx, p, heads, dim_head):
+        """Numpy reference of the reference attention math
+        (models/networks.py:157-175)."""
+        q = x @ np.asarray(p["to_q"]["kernel"])
+        kv = ctx @ np.asarray(p["to_kv"]["kernel"])
+        k, v = np.split(kv, 2, axis=-1)
+        b, n, _ = q.shape
+        m = k.shape[1]
+
+        def heads_split(t, L):
+            return t.reshape(b, L, heads, dim_head).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads_split(q, n), heads_split(k, m), heads_split(v, m)
+        s = np.einsum("bhid,bhjd->bhij", qh, kh) * dim_head**-0.5
+        s = s - s.max(-1, keepdims=True)
+        a = np.exp(s) / np.exp(s).sum(-1, keepdims=True)
+        o = np.einsum("bhij,bhjd->bhid", a, vh)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+        return o @ np.asarray(p["to_out"]["kernel"]) + np.asarray(p["to_out"]["bias"])
+
+    def test_self_attention_matches_naive(self, rng):
+        dim, heads, dim_head = 16, 4, 8
+        x = rng.standard_normal((2, 6, dim)).astype(np.float32)
+        attn = tnn.Attention(dim, heads=heads, dim_head=dim_head, use_pallas=False,
+                             precision="highest")
+        variables = attn.init(jax.random.key(0), jnp.asarray(x))
+        out = np.asarray(attn.apply(variables, jnp.asarray(x)))
+        ref = self._naive(x, x, variables["params"], heads, dim_head)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_cross_attention_context(self, rng):
+        dim = 16
+        x = rng.standard_normal((2, 5, dim)).astype(np.float32)
+        ctx = rng.standard_normal((2, 9, dim)).astype(np.float32)
+        attn = tnn.Attention(dim, heads=2, dim_head=8, use_pallas=False,
+                             precision="highest")
+        variables = attn.init(jax.random.key(0), jnp.asarray(x), context=jnp.asarray(ctx))
+        out = np.asarray(attn.apply(variables, jnp.asarray(x), context=jnp.asarray(ctx)))
+        ref = self._naive(x, ctx, variables["params"], 2, 8)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        # kv_include_self concatenates x before context
+        out2 = np.asarray(
+            attn.apply(variables, jnp.asarray(x), context=jnp.asarray(ctx),
+                       kv_include_self=True)
+        )
+        ref2 = self._naive(x, np.concatenate([x, ctx], axis=1), variables["params"], 2, 8)
+        np.testing.assert_allclose(out2, ref2, atol=1e-5)
+
+    def test_pallas_kernel_parity_interpret(self, rng):
+        b, h, n, m, d = 2, 4, 150, 150, 32
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        ref = attention_reference(q, k, v, d**-0.5)
+        out = fused_attention(q, k, v, d**-0.5, True)  # interpret mode
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_pallas_kernel_grad_parity(self, rng):
+        b, h, n, m, d = 1, 2, 17, 23, 16
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(fused_attention(q, k, v, d**-0.5, True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, d**-0.5) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+class TestTransformers:
+    def test_transformer_shape(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+        t = tnn.Transformer(16, depth=2, heads=2, dim_head=8, mlp_dim=32,
+                            use_pallas=False)
+        variables = t.init(jax.random.key(0), x)
+        assert t.apply(variables, x).shape == (2, 10, 16)
+
+    def test_cross_transformer_mod_avg_head(self, rng):
+        dim = 16
+        mri = jnp.asarray(rng.standard_normal((2, 8, dim)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((2, 8, dim)), jnp.float32)
+        ct = tnn.CrossTransformerModAvg(dim, depth=2, heads=2, dim_head=8,
+                                        mlp_dim=32, use_pallas=False)
+        variables = ct.init(jax.random.key(0), mri, pet)
+        out = ct.apply(variables, mri, pet)
+        assert out.shape == (2, 4 * dim)
+
+    def test_cross_transformer_streams(self, rng):
+        dim = 16
+        mri = jnp.asarray(rng.standard_normal((2, 8, dim)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((2, 8, dim)), jnp.float32)
+        ct = tnn.CrossTransformer(dim, depth=2, heads=2, dim_head=8, mlp_dim=32,
+                                  use_pallas=False)
+        variables = ct.init(jax.random.key(0), mri, pet)
+        m, p = ct.apply(variables, mri, pet)
+        assert m.shape == (2, 8, dim) and p.shape == (2, 8, dim)
+
+    def test_cross_transformer_share_ties_weights(self, rng):
+        dim = 16
+        mri = jnp.asarray(rng.standard_normal((1, 4, dim)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((1, 4, dim)), jnp.float32)
+        ct = tnn.CrossTransformer(dim, depth=1, heads=2, dim_head=8, mlp_dim=32,
+                                  share=True, use_pallas=False)
+        variables = ct.init(jax.random.key(0), mri, pet)
+        # shared => exactly one Transformer's params per depth
+        assert len(variables["params"]) == 1
+
+
+class TestGRL:
+    def test_identity_forward(self, rng):
+        x = jnp.asarray(rng.standard_normal((3, 4)), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(tnn.revgrad(x, 2.0)), np.asarray(x))
+
+    def test_gradient_reversed_and_scaled(self, rng):
+        x = jnp.asarray(rng.standard_normal((3, 4)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((4, 2)), jnp.float32)
+
+        def f_plain(w):
+            return jnp.sum((x @ w) ** 2)
+
+        def f_rev(w):
+            return jnp.sum(tnn.revgrad(x @ w, 2.0) ** 2)
+
+        g_plain = jax.grad(f_plain)(w)
+        g_rev = jax.grad(f_rev)(w)
+        np.testing.assert_allclose(np.asarray(g_rev), -2.0 * np.asarray(g_plain),
+                                   atol=1e-5)
+
+
+class TestLosses:
+    def test_cross_entropy_matches_torch(self, rng):
+        import torch
+
+        logits = rng.standard_normal((7, 2)).astype(np.float32)
+        labels = rng.integers(0, 2, 7).astype(np.int32)
+        ours = float(tnn.cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+        theirs = float(
+            torch.nn.functional.cross_entropy(
+                torch.from_numpy(logits), torch.from_numpy(labels).long()
+            )
+        )
+        assert abs(ours - theirs) < 1e-6
+
+    def test_weighted_cross_entropy_matches_torch(self, rng):
+        import torch
+
+        logits = rng.standard_normal((9, 2)).astype(np.float32)
+        labels = rng.integers(0, 2, 9).astype(np.int32)
+        w = np.array([0.3, 0.7], np.float32)
+        ours = float(
+            tnn.cross_entropy(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(w))
+        )
+        theirs = float(
+            torch.nn.functional.cross_entropy(
+                torch.from_numpy(logits), torch.from_numpy(labels).long(),
+                weight=torch.from_numpy(w),
+            )
+        )
+        assert abs(ours - theirs) < 1e-6
+
+    def test_adversarial_loss(self, rng):
+        d_mri = jnp.asarray(rng.standard_normal((4, 2)), jnp.float32)
+        d_pet = jnp.asarray(rng.standard_normal((4, 2)), jnp.float32)
+        got = float(tnn.adversarial_loss(d_mri, d_pet))
+        want = 0.5 * (
+            float(tnn.cross_entropy(d_mri, jnp.ones(4, jnp.int32)))
+            + float(tnn.cross_entropy(d_pet, jnp.zeros(4, jnp.int32)))
+        )
+        assert abs(got - want) < 1e-6
+
+    def test_supcon_degenerates_and_labels(self, rng):
+        feats = rng.standard_normal((4, 2, 8)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        labels = np.array([0, 0, 1, 1], np.int32)
+        loss = float(tnn.supcon_loss(jnp.asarray(feats), jnp.asarray(labels)))
+        assert np.isfinite(loss) and loss > 0
+        # Identical positives should yield a lower loss than random ones.
+        feats2 = np.repeat(feats[:1], 4, axis=0)
+        loss2 = float(
+            tnn.supcon_loss(jnp.asarray(feats2), jnp.asarray(np.zeros(4, np.int32)))
+        )
+        assert loss2 < loss
+
+    def test_fa_loss_zero_for_identical(self, rng):
+        fm = jnp.asarray(rng.standard_normal((2, 3, 3, 3, 4)), jnp.float32)
+        assert float(tnn.fa_loss(fm, fm)) == 0.0
+        fm2 = jnp.asarray(rng.standard_normal((2, 3, 3, 3, 4)), jnp.float32)
+        assert float(tnn.fa_loss(fm, fm2)) > 0

@@ -1,0 +1,138 @@
+"""3D-CNN building blocks, channels-last (NDHWC) for TPU conv layouts.
+
+TPU-first re-design of the reference encoders (reference: models/networks.py:
+18-110). Convs lower to XLA `conv_general_dilated` with NDHWC/DHWIO layouts so
+the MXU tiles the contraction; pooling is `lax.reduce_window` with VALID
+padding (floor semantics, matching torch MaxPool3d(2,2)). BatchNorm keeps
+running stats like torch (momentum 0.1, eps 1e-5); under global-view jit with
+a sharded batch axis the mean/var reductions are global automatically, which
+is the multi-chip "sync BN" the reference never had.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .init import kaiming_fan_out
+
+Dtype = Any
+
+
+class ConvBNAct(nn.Module):
+    """Conv3d(+pad) -> BatchNorm -> activation, the sNet/SFCN unit cell."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    padding: str = "SAME"
+    act: str = "leaky_relu"  # 'leaky_relu' | 'relu' | 'none'
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None  # None = fast (bf16 MXU); 'highest' = f32
+    bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            padding=self.padding,
+            kernel_init=kaiming_fan_out,
+            dtype=self.dtype,
+            precision=self.precision,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+        )(x)
+        if self.act == "leaky_relu":
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        elif self.act == "relu":
+            x = nn.relu(x)
+        return x
+
+
+def max_pool3d(x, window: int = 2, stride: int = 2):
+    """torch MaxPool3d(window, stride) with floor (VALID) semantics."""
+    dims = (window,) * 3
+    strides = (stride,) * 3
+    return nn.max_pool(x, dims, strides=strides, padding="VALID")
+
+
+def avg_pool3d(x, window: int = 2, stride: int = 2):
+    dims = (window,) * 3
+    strides = (stride,) * 3
+    return nn.avg_pool(x, dims, strides=strides, padding="VALID")
+
+
+class SNet(nn.Module):
+    """Per-modality 3D-CNN encoder (paper fig. b).
+
+    Stage plan mirrors the reference sNet (reference: models/networks.py:18-61):
+    s1: Conv 1->dim/4, MaxPool2; s2: Conv dim/4->dim/4, Conv dim/4->dim/2,
+    MaxPool2; s3: Conv dim/2->dim/2, Conv dim/2->dim, MaxPool2; s4:
+    Conv dim->2dim (3^3), Conv 2dim->dim (1^3), AvgPool2. Net 16x spatial
+    downsample; 91x109x91 input -> (5, 6, 5, dim) = 150 tokens.
+
+    Input/output are channels-last: (B, X, Y, Z, C).
+    """
+
+    dim: int = 128
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, precision=self.precision,
+                  axis_name=self.axis_name)
+        d = self.dim
+        x = ConvBNAct(d // 4, **kw)(x, train)
+        x = max_pool3d(x)
+        x = ConvBNAct(d // 4, **kw)(x, train)
+        x = ConvBNAct(d // 2, **kw)(x, train)
+        x = max_pool3d(x)
+        x = ConvBNAct(d // 2, **kw)(x, train)
+        x = ConvBNAct(d, **kw)(x, train)
+        x = max_pool3d(x)
+        x = ConvBNAct(d * 2, **kw)(x, train)
+        x = ConvBNAct(d, kernel=(1, 1, 1), **kw)(x, train)
+        x = avg_pool3d(x)
+        return x
+
+
+class SFCN(nn.Module):
+    """5-block fully-convolutional encoder (reference: models/networks.py:64-110,
+    dead code there with stray debug prints — kept here as a working extra)."""
+
+    channels: Sequence[int] = (32, 64, 128, 128, 64)
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act="relu", dtype=self.dtype, precision=self.precision,
+                  axis_name=self.axis_name)
+        for ch in self.channels[:4]:
+            x = ConvBNAct(ch, **kw)(x, train)
+            x = max_pool3d(x)
+        x = ConvBNAct(self.channels[4], kernel=(1, 1, 1), **kw)(x, train)
+        return x
+
+
+def global_avg_pool(x):
+    """AdaptiveAvgPool3d(1) + flatten for NDHWC feature maps -> (B, C)."""
+    return jnp.mean(x, axis=(1, 2, 3))
+
+
+def tokens_from_volume(x):
+    """(B, X, Y, Z, C) -> (B, X*Y*Z, C) token grid, matching the reference's
+    rearrange 'b d x y z -> b (x y z) d' (reference: models/mymodel.py:218)."""
+    b = x.shape[0]
+    return x.reshape(b, -1, x.shape[-1])

@@ -1,0 +1,31 @@
+"""Pallas TPU kernels and their dispatch points.
+
+`attention_core` is the single entry the nn layer calls; it routes to the
+fused Pallas kernel on TPU and to a plain-XLA implementation elsewhere
+(CPU tests, debugging), so model code never branches on backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from .flash_attention import attention_reference, fused_attention  # noqa: F401
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def attention_core(q, k, v, scale: float, use_pallas: Optional[bool] = None):
+    """softmax(q k^T * scale) v for (B, H, N, D) q and (B, H, M, D) k/v.
+
+    use_pallas: True forces the Pallas kernel, False forces plain XLA,
+    None auto-selects (Pallas on TPU).
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        return fused_attention(q, k, v, scale)
+    return attention_reference(q, k, v, scale)
