@@ -1,0 +1,134 @@
+"""MiSePyNet/Mnet baseline: slice-wise multi-view CNN.
+
+Behavioral spec from the reference (reference: models/MiSePyNet.py): per
+modality, three anatomical views (axial / coronal / sagittal permutations);
+each view goes through a slice CNN — three parallel branches collapsing the
+last spatial axis with VALID convs of kernel (1,1,L), (1,1,ceil(L/2)) x2,
+(1,1,ceil(L/3)) x3, 8 channels each — then a spatial CNN. The reference's
+spatial_cnn defines three conv stacks but its forward applies conv1 to all
+three branch outputs and sums (reference: MiSePyNet.py:89-94); conv2/conv3
+are dead parameters (and their pool configs would not even execute in torch:
+MaxPool3d(kernel=(2,2,1), padding=1) pads the size-1 depth beyond kernel/2).
+This rebuild reproduces the *driven* path: shared conv1 stack applied to all
+three branches, summed. Inputs are padded to (91, 109, 91)
+(reference: datasets/ADNI.py:87-115).
+
+Per-modality feature: axial 128 + coronal 64 + sagittal 128 = 320; Mnet
+concatenates both modalities (640) into an MLP 512 -> 64 -> 2 with BN and
+Dropout(0.5) (reference: MiSePyNet.py:139-163).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.attention import _dense
+from ..nn.blocks import ConvBNAct
+
+Dtype = Any
+
+
+class SliceCNN(nn.Module):
+    """Three parallel branches collapsing the last spatial axis to size 1."""
+
+    length: int  # size of the collapsed axis
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act="relu", padding="VALID", dtype=self.dtype,
+                  precision=self.precision)
+        L = self.length
+        b1 = ConvBNAct(8, kernel=(1, 1, L), **kw)(x, train)
+        k2 = (L + 1) // 2
+        b2 = ConvBNAct(8, kernel=(1, 1, k2), **kw)(x, train)
+        b2 = ConvBNAct(8, kernel=(1, 1, k2), **kw)(b2, train)
+        k3 = (L + 2) // 3
+        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(x, train)
+        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(b3, train)
+        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(b3, train)
+        return b1, b2, b3
+
+
+class SpatialCNN(nn.Module):
+    """The driven spatial stack (reference conv1): Conv(11,11,1)/s(2,2,2) ->
+    MaxPool(3,3,1) -> Conv(11,11,1) -> MaxPool(3,3,1) -> Conv(1,1,1);
+    applied to each slice branch and summed."""
+
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, s1, s2, s3, train: bool = False):
+        stack = _StridedStack(dtype=self.dtype, precision=self.precision)
+        return stack(s1, train) + stack(s2, train) + stack(s3, train)
+
+
+class _StridedStack(nn.Module):
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act="relu", padding="VALID", dtype=self.dtype,
+                  precision=self.precision)
+        x = ConvBNAct(16, kernel=(11, 11, 1), strides=(2, 2, 2), **kw)(x, train)
+        x = nn.max_pool(x, (3, 3, 1), strides=(3, 3, 1), padding="VALID")
+        x = ConvBNAct(32, kernel=(11, 11, 1), **kw)(x, train)
+        x = nn.max_pool(x, (3, 3, 1), strides=(3, 3, 1), padding="VALID")
+        x = ConvBNAct(64, kernel=(1, 1, 1), **kw)(x, train)
+        return x
+
+
+class MiSePyNet(nn.Module):
+    """Three-view slice+spatial encoder -> flattened 320-dim feature."""
+
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, img, train: bool = False):
+        # img: (B, 91, 109, 91, 1) channels-last
+        kw = dict(dtype=self.dtype, precision=self.precision)
+        views = {
+            "axial": (img, 91),
+            # torch permute(0,1,2,4,3): swap last two spatial dims
+            "col": (img.transpose(0, 1, 3, 2, 4), 109),
+            # torch permute(0,1,4,3,2): reverse spatial order
+            "sag": (img.transpose(0, 3, 2, 1, 4), 91),
+        }
+        feats = []
+        for name, (view, length) in views.items():
+            s1, s2, s3 = SliceCNN(length, name=f"slice_{name}", **kw)(view, train)
+            out = SpatialCNN(name=f"spatial_{name}", **kw)(s1, s2, s3, train)
+            feats.append(out.reshape(out.shape[0], -1))
+        return jnp.concatenate(feats, axis=-1)
+
+
+class Mnet(nn.Module):
+    """Dual-modality MiSePyNet + MLP classifier (reference: MiSePyNet.py:139-163)."""
+
+    dtype: Optional[Dtype] = None
+    precision: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, mri, pet, train: bool = False):
+        kw = dict(dtype=self.dtype, precision=self.precision)
+        mri_feat = MiSePyNet(name="mri", **kw)(mri, train)
+        pet_feat = MiSePyNet(name="pet", **kw)(pet, train)
+        x = jnp.concatenate([mri_feat, pet_feat], axis=-1)
+        fan_in = x.shape[-1]
+        for w in (512, 64):
+            x = _dense(w, dtype=self.dtype, in_features=fan_in,
+                       precision=self.precision)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+            fan_in = w
+        return _dense(2, dtype=self.dtype, in_features=fan_in,
+                      precision=self.precision)(x)

@@ -26,6 +26,7 @@ class ConvBNAct(nn.Module):
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
     padding: str = "SAME"
     act: str = "leaky_relu"  # 'leaky_relu' | 'relu' | 'none'
     dtype: Optional[Dtype] = None
@@ -38,6 +39,7 @@ class ConvBNAct(nn.Module):
         x = nn.Conv(
             self.features,
             self.kernel,
+            strides=self.strides,
             padding=self.padding,
             kernel_init=kaiming_fan_out,
             dtype=self.dtype,
