@@ -1,0 +1,113 @@
+"""End-to-end integration: k-fold drivers on synthetic ADNI data (CPU).
+
+This is BASELINE.json config 1 ("single-modality 3D-CNN MRI ADCN classifier,
+synthetic ADNI-format NIfTI on CPU") plus a short adversarial-fusion run,
+exercising: CSV index -> loader -> jitted train step (with augmentation) ->
+engine -> metrics -> best checkpointing -> test eval -> fold aggregation.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from transmf_ad_tpu.config import Options
+from transmf_ad_tpu.train.kfold import run_holdout, run_kfold, task_seed
+
+
+def _opt(adni_root, tmp_path, **kw):
+    base = dict(
+        name="itest",
+        dataroot=adni_root,
+        checkpoints_dir=str(tmp_path / "ckpt"),
+        task="ADCN",
+        batch_size=4,
+        stage1_epochs=1,
+        stage2_epochs=1,
+        dim=16,
+        heads=2,
+        trans_enc_depth=1,
+        num_folds=3,
+        aug="True",
+        use_pallas="False",
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+class TestKFoldSingle:
+    def test_full_run(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="CNN")
+        res = run_kfold(opt, variant="single")
+        assert len(res["folds"]) == 3
+        mean = res["mean"]
+        assert len(mean) == 6
+        assert 0.0 <= mean[1] <= 1.0  # accuracy
+        # artifacts: per-fold dirs with logs and a best checkpoint
+        fold0 = os.path.join(opt.checkpoints_dir, opt.name, "0")
+        assert os.path.exists(os.path.join(fold0, "log.txt"))
+        assert glob.glob(os.path.join(fold0, "best_label_net_model_*.msgpack"))
+        # main log has the final aggregate in the reference format
+        main_log = open(
+            os.path.join(opt.checkpoints_dir, opt.name, "log.txt")
+        ).read()
+        assert "************Final Results************" in main_log
+        assert "acc:" in main_log and "+-" in main_log
+
+    def test_task_seeds_match_reference(self, adni_root):
+        assert task_seed(Options(task="ADCN")) == 42
+        assert task_seed(Options(task="pMCIsMCI")) == 996
+        assert task_seed(Options(task="MCICN")) == 1
+
+
+class TestKFoldAdversarial:
+    def test_transformer_fusion_run(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="Transformer", num_folds=2,
+                   batch_size=3)
+        res = run_kfold(opt, variant="adversarial")
+        assert len(res["folds"]) == 2
+        fold0_log = open(
+            os.path.join(opt.checkpoints_dir, opt.name, "0", "log.txt")
+        ).read()
+        # adversarial training logs discriminator accuracies
+        assert "MRIaccuracy" in fold0_log and "PETaccuracy" in fold0_log
+        assert "Test Results" in fold0_log
+
+
+class TestHoldout:
+    def test_holdout_run(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="CNN", num_folds=2)
+        res = run_holdout(opt)
+        assert len(res) == 6
+        # partitions are saved like the reference
+        d = os.path.join(opt.checkpoints_dir, opt.name)
+        for f in ("train.npy", "val.npy", "test.npy"):
+            assert os.path.exists(os.path.join(d, f))
+
+
+class TestResume:
+    def test_latest_checkpoint_resume(self, adni_root, tmp_path):
+        from transmf_ad_tpu.data.adni import ADNI
+        from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        data = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(data, keys=("MRI",))
+        tr = Loader(src, list(range(6)), 3, shuffle=True)
+        va = Loader(src, [6, 7], 2)
+        save_dir = str(tmp_path / "resume")
+        cfg = TrainerConfig(model="single", dim=8, epochs=2, aug=False,
+                            save_dir=save_dir, save_latest_every=1,
+                            use_pallas=False)
+        t1 = Trainer(cfg)
+        t1.fit(tr, va, None)
+        assert os.path.exists(os.path.join(save_dir, "latest.msgpack"))
+
+        cfg2 = TrainerConfig(model="single", dim=8, epochs=2, aug=False,
+                             save_dir=save_dir, resume=True, use_pallas=False)
+        t2 = Trainer(cfg2)
+        # resuming from epoch 2 of 2 -> no further training, still returns
+        t2.fit(tr, va, None)
+        log = open(os.path.join(save_dir, "log.txt")).read()
+        assert "Resumed from epoch 2" in log

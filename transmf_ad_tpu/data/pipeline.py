@@ -121,6 +121,12 @@ class Loader:
         for s in range(0, stop, self.batch_size):
             yield order[s : s + self.batch_size]
 
+    def peek(self) -> Dict[str, np.ndarray]:
+        """A representative batch, assembled synchronously (for shape
+        probing / model init); does not disturb the shuffle RNG."""
+        idx = self.indices[: self.batch_size]
+        return self._stack([self.source[int(i)] for i in idx])
+
     @staticmethod
     def _stack(items: List[Dict]) -> Dict[str, np.ndarray]:
         batch = {}

@@ -1,0 +1,241 @@
+"""High-level Trainer: the reference's `train_model` topology as a component.
+
+Composes the jitted steps, event engine, metric accumulators, LR schedule,
+best-checkpoint retention and test evaluation exactly like the reference
+driver does with ignite (reference: kfold_train_adversarial.py:89-254):
+per-epoch train metrics (accuracy, discriminator accuracies, mean ce/ad
+loss), per-epoch validation (loss/acc/sen/spe/f1/AUC) with best-by-accuracy
+checkpointing, and a final test pass with the best weights restored.
+Returns the reference's res_fold = [loss, acc, sen, spe, f1, auc].
+
+TPU notes: step outputs are kept as device arrays during the epoch (JAX
+async dispatch keeps the pipeline full) and only materialized at epoch end;
+a `latest` full-state checkpoint enables crash-resume (absent upstream).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import AugmentConfig
+from ..models import ADVERSARIAL, SINGLE_MODALITY, build_model
+from ..utils.logging import Logger
+from . import checkpoint as ckpt
+from .engine import Engine, Events
+from .metrics import confusion_metrics, roc_auc
+from .optim import build_optimizer
+from .steps import create_state, make_eval_step, make_train_step
+
+
+@dataclass
+class TrainerConfig:
+    model: str = "ad"
+    dim: int = 128
+    depth: int = 3
+    heads: int = 4
+    dropout: float = 0.0
+    optimizer: str = "Adam"
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    momentum: float = 0.0
+    milestones: Optional[Sequence[int]] = None  # None = reference defaults
+    epochs: int = 40
+    aug: bool = True
+    aug_cfg: AugmentConfig = field(default_factory=AugmentConfig)
+    seed: int = 42
+    save_dir: str = "./checkpoints/run"
+    use_pallas: Optional[bool] = None
+    dtype: Any = None
+    resume: bool = False
+    save_latest_every: int = 0  # epochs between resume checkpoints; 0 = off
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, logger: Optional[Logger] = None):
+        self.cfg = cfg
+        self.logger = logger or Logger(cfg.save_dir)
+        self.model = build_model(
+            cfg.model, dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
+            dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=cfg.dtype,
+        )
+        self.adversarial = cfg.model in ADVERSARIAL
+        self.modalities: Tuple[str, ...] = (
+            ("MRI",) if cfg.model in SINGLE_MODALITY else ("MRI", "PET")
+        )
+        self.state = None
+        self.lr_schedule = None
+
+    # ----- setup -----
+
+    def init_state(self, sample_batch, steps_per_epoch: int):
+        cfg = self.cfg
+        tx, self.lr_schedule = build_optimizer(
+            cfg.optimizer, cfg.lr, cfg.weight_decay, steps_per_epoch,
+            milestones=cfg.milestones, momentum=cfg.momentum,
+        )
+        inputs = [jnp.asarray(sample_batch[k][..., None]) for k in self.modalities]
+        self.state = create_state(
+            self.model, tx, inputs, jax.random.key(cfg.seed)
+        )
+        return self.state
+
+    def param_count(self) -> int:
+        return sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(self.state.params)
+        )
+
+    # ----- evaluation -----
+
+    def evaluate(self, loader) -> dict:
+        eval_step = self._eval_step
+        outs = [eval_step(self.state, _device_batch(b)) for b in loader]
+        logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
+        labels = np.concatenate([np.asarray(o["label"]) for o in outs])
+        probs = np.concatenate([np.asarray(o["probs"]) for o in outs])
+        losses = np.array([float(o["loss"]) for o in outs])
+        pred = logits.argmax(-1)
+        conf = np.zeros((2, 2))
+        for t, p in zip(labels, pred):
+            conf[t, p] += 1
+        m = confusion_metrics(conf)
+        return {
+            "loss": float(losses.mean()),
+            "accuracy": float((pred == labels).mean()),
+            "auc": roc_auc(probs, labels),
+            "confusion": conf,
+            **m,
+        }
+
+    # ----- training -----
+
+    def fit(self, train_loader, val_loader, test_loader=None,
+            class_weights=None):
+        cfg = self.cfg
+        logger = self.logger
+        steps_per_epoch = max(1, len(train_loader))
+        sample = (train_loader.peek() if hasattr(train_loader, "peek")
+                  else next(iter(train_loader)))
+        if self.state is None:
+            self.init_state(sample, steps_per_epoch)
+
+        aug_cfg = cfg.aug_cfg if cfg.aug else None
+        train_step = make_train_step(
+            self.modalities, self.adversarial, aug_cfg,
+            class_weights=class_weights,
+        )
+        self._eval_step = make_eval_step(self.modalities, self.adversarial)
+        base_rng = jax.random.key(cfg.seed + 1)
+
+        checkpointer = ckpt.BestCheckpointer(cfg.save_dir)
+        epoch_outputs = []
+        start_epoch = 0
+
+        if cfg.resume:
+            restored = ckpt.load_latest(cfg.save_dir, {
+                "state": _saveable(self.state), "epoch": 0,
+            })
+            if restored is not None:
+                self.state = _restore_state(self.state, restored["state"])
+                start_epoch = int(restored["epoch"])
+                logger.print_message(f"Resumed from epoch {start_epoch}")
+
+        def step_fn(engine, batch):
+            self.state, aux = train_step(self.state, _device_batch(batch),
+                                         base_rng)
+            epoch_outputs.append(aux)  # device arrays; not synced here
+            return aux
+
+        trainer = Engine(step_fn)
+
+        @trainer.on(Events.EPOCH_COMPLETED)
+        def log_train(engine):
+            outs = list(epoch_outputs)
+            epoch_outputs.clear()
+            ce = float(np.mean([np.asarray(o["ce_loss"]) for o in outs]))
+            ad = float(np.mean([np.asarray(o["ad_loss"]) for o in outs]))
+            logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
+            labels = np.concatenate([np.asarray(o["label"]) for o in outs])
+            acc = float((logits.argmax(-1) == labels).mean())
+            lr = float(self.lr_schedule(int(self.state.step) - 1))
+            logger.print_message("-------------------------------------------------")
+            logger.print_message(f"Current learning rate: {lr}")
+            logger.print_message(f"Training Results - Epoch[{engine.state.epoch}] ")
+            msg = f"ce_loss: {ce:.4f} ad_loss: {ad:.4f} accuracy: {acc:.4f} "
+            if self.adversarial:
+                d_mri = np.concatenate([np.asarray(o["d_mri"]) for o in outs])
+                d_pet = np.concatenate([np.asarray(o["d_pet"]) for o in outs])
+                mri_acc = float((d_mri.argmax(-1) == 1).mean())
+                pet_acc = float((d_pet.argmax(-1) == 0).mean())
+                msg += f"MRIaccuracy: {mri_acc:.4f} PETaccuracy: {pet_acc:.4f} "
+            engine.state.metrics["train_accuracy"] = acc
+            logger.print_message(msg)
+
+        @trainer.on(Events.EPOCH_COMPLETED)
+        def validate(engine):
+            metrics = self.evaluate(val_loader)
+            logger.print_message(
+                f"Validation Results - Epoch[{engine.state.epoch}] "
+            )
+            logger.print_message(_fmt_metrics(metrics))
+            engine.state.metrics["val"] = metrics
+            checkpointer.maybe_save(
+                _saveable(self.state), metrics["accuracy"], engine.state.epoch
+            )
+            if cfg.save_latest_every and (
+                engine.state.epoch % cfg.save_latest_every == 0
+            ):
+                ckpt.save_latest(cfg.save_dir, {
+                    "state": _saveable(self.state, full=True),
+                    "epoch": engine.state.epoch,
+                })
+
+        trainer.run(train_loader, cfg.epochs, start_epoch=start_epoch)
+
+        res_fold = None
+        if test_loader is not None:
+            best = checkpointer.best_path()
+            if best is not None:
+                restored = ckpt.load(best, _saveable(self.state))
+                self.state = _restore_state(self.state, restored)
+                logger.print_message(f"Load best model {best}")
+            metrics = self.evaluate(test_loader)
+            logger.print_message("*" * 62)
+            logger.print_message("Test Results")
+            logger.print_message(_fmt_metrics(metrics))
+            res_fold = [metrics["loss"], metrics["accuracy"], metrics["sen"],
+                        metrics["spe"], metrics["f1"], metrics["auc"]]
+        return res_fold
+
+
+def _fmt_metrics(m: dict) -> str:
+    return (
+        f"loss: {m['loss']:.4f} accuracy: {m['accuracy']:.4f} "
+        f"sensitivity: {m['sen']:.4f} specificity: {m['spe']:.4f} "
+        f"f1 score: {m['f1']:.4f} AUC: {m['auc']:.4f} "
+    )
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if k in ("MRI", "PET", "label")}
+
+
+def _saveable(state, full: bool = False):
+    out = {"params": state.params, "batch_stats": state.batch_stats}
+    if full:
+        out["opt_state"] = state.opt_state
+    return out
+
+
+def _restore_state(state, restored):
+    kw = dict(params=restored["params"], batch_stats=restored["batch_stats"])
+    if "opt_state" in restored:
+        kw["opt_state"] = restored["opt_state"]
+    return state.replace(**kw)
