@@ -13,16 +13,25 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from .init import kaiming_fan_out
+from .init import kaiming_fan_out, torch_conv_bias
 
 Dtype = Any
 
 
 class ConvBNAct(nn.Module):
-    """Conv3d(+pad) -> BatchNorm -> activation, the sNet/SFCN unit cell."""
+    """Conv3d(+pad) -> BatchNorm -> activation, the sNet/SFCN unit cell.
+
+    Single-input-channel 3x3x3 stride-1 SAME convs (the sNet stem — the
+    step-time hotspot, see ops/stem.py) route through the banded-MXU Pallas
+    kernel on TPU; everything else lowers to `conv_general_dilated`.
+    Parameters are declared explicitly so the param tree is identical on
+    every backend: {kernel (D,H,W,I,O), bias (O,), BatchNorm_0/{scale,bias}}.
+    """
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -33,30 +42,53 @@ class ConvBNAct(nn.Module):
     precision: Optional[Any] = None  # None = fast (bf16 MXU); 'highest' = f32
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     axis_name: Optional[str] = None
+    use_stem_kernel: Optional[bool] = None  # None => auto (TPU only)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.strides,
-            padding=self.padding,
-            kernel_init=kaiming_fan_out,
-            dtype=self.dtype,
-            precision=self.precision,
-        )(x)
-        x = nn.BatchNorm(
+        from ..ops.stem import stem_conv
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_fan_out, (*self.kernel, cin, self.features)
+        )
+        bias = self.param(
+            "bias", torch_conv_bias(cin * int(np.prod(self.kernel))),
+            (self.features,),
+        )
+        dt = self.dtype or x.dtype
+        xd, kd, bd = x.astype(dt), kernel.astype(dt), bias.astype(dt)
+
+        stem_ok = (
+            cin == 1
+            and self.kernel == (3, 3, 3)
+            and self.strides == (1, 1, 1)
+            and self.padding == "SAME"
+            and self.precision is None
+        )
+        use_stem = self.use_stem_kernel
+        if use_stem is None:
+            use_stem = stem_ok and jax.default_backend() == "tpu"
+        if use_stem and stem_ok:
+            y = stem_conv(xd[..., 0], kd[:, :, :, 0, :]) + bd
+        else:
+            y = jax.lax.conv_general_dilated(
+                xd, kd, self.strides, self.padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                precision=self.precision,
+            ) + bd
+        y = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=1e-5,
             dtype=self.dtype,
             axis_name=self.axis_name,
-        )(x)
+        )(y)
         if self.act == "leaky_relu":
-            x = nn.leaky_relu(x, negative_slope=0.01)
+            y = nn.leaky_relu(y, negative_slope=0.01)
         elif self.act == "relu":
-            x = nn.relu(x)
-        return x
+            y = nn.relu(y)
+        return y
 
 
 def max_pool3d(x, window: int = 2, stride: int = 2):

@@ -28,3 +28,10 @@ def torch_linear_bias(fan_in):
         return random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
     return init
+
+
+def torch_conv_bias(fan_in):
+    """torch Conv3d default bias init: U(+-1/sqrt(cin * prod(kernel))).
+    (The reference re-initializes conv weights only; biases keep this
+    default — reference: models/mymodel.py:21-25.)"""
+    return torch_linear_bias(fan_in)
