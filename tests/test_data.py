@@ -158,3 +158,56 @@ class TestLoader:
         src = VolumeSource(ds.data_dict, pad_to=(32, 32, 32))
         b = next(iter(Loader(src, batch_size=2)))
         assert b["MRI"].shape == (2, 32, 32, 32)
+
+
+class TestNativeLoader:
+    def test_native_matches_python(self, adni_root):
+        from transmf_ad_tpu.data import native_loader
+        from transmf_ad_tpu.data.adni import ADNI
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        rec = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict[0]
+        shape = native_loader.peek_dims(rec["MRI"])
+        native = native_loader.decode(rec["MRI"], shape, normalize=False)
+        py = nifti.load(rec["MRI"])
+        np.testing.assert_allclose(native, py, atol=1e-6)
+        # normalized path matches the python min-max
+        nat_n = native_loader.decode(rec["MRI"], shape, normalize=True)
+        lo, hi = py.min(), py.max()
+        np.testing.assert_allclose(nat_n, (py - lo) / (hi - lo), atol=1e-5)
+
+    def test_batch_decode(self, adni_root):
+        from transmf_ad_tpu.data import native_loader
+        from transmf_ad_tpu.data.adni import ADNI
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        recs = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict[:4]
+        paths = [r["PET"] for r in recs]
+        shape = native_loader.peek_dims(paths[0])
+        batch = native_loader.decode_batch(paths, shape)
+        assert batch.shape == (4, *shape)
+        one = native_loader.decode(paths[2], shape)
+        np.testing.assert_array_equal(batch[2], one)
+
+    def test_bad_path_raises(self, tmp_path):
+        from transmf_ad_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        with pytest.raises(ValueError):
+            native_loader.decode(str(tmp_path / "missing.nii.gz"), (4, 4, 4))
+
+    def test_source_native_parity(self, adni_root):
+        from transmf_ad_tpu.data import native_loader
+        from transmf_ad_tpu.data.adni import ADNI
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        recs = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        s_py = VolumeSource(recs, use_native=False)
+        s_nat = VolumeSource(recs, use_native=True)
+        a, b = s_py[0], s_nat[0]
+        np.testing.assert_allclose(a["MRI"], b["MRI"], atol=1e-5)
+        np.testing.assert_allclose(a["PET"], b["PET"], atol=1e-5)

@@ -47,6 +47,7 @@ class VolumeSource:
         pad_to: Optional[tuple] = None,
         normalize: bool = True,
         cache: bool = True,
+        use_native: Optional[bool] = None,
     ):
         self.records = list(records)
         self.keys = tuple(keys)
@@ -54,16 +55,28 @@ class VolumeSource:
         self.normalize = normalize
         self._cache: Optional[List] = [None] * len(self.records) if cache else None
         self._lock = threading.Lock()
+        if use_native is None:
+            from . import native_loader
+
+            use_native = native_loader.available()
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.records)
 
+    def _decode_vol(self, path: str) -> np.ndarray:
+        if self.use_native:
+            from . import native_loader
+
+            shape = native_loader.peek_dims(path)
+            return native_loader.decode(path, shape, self.normalize)
+        vol = nifti.load(path, dtype=np.float32)
+        return _minmax(vol) if self.normalize else vol
+
     def _decode(self, rec: Dict) -> Dict:
         out = {"label": np.int32(rec["label"])}
         for k in self.keys:
-            vol = nifti.load(rec[k], dtype=np.float32)
-            if self.normalize:
-                vol = _minmax(vol)
+            vol = self._decode_vol(rec[k])
             if self.pad_to is not None:
                 vol = spatial_pad(vol, self.pad_to)
             out[k] = vol
