@@ -47,7 +47,9 @@ def main():
         "PET": jnp.asarray(rng.standard_normal((BATCH, *SHAPE)), jnp.float32),
         "label": jnp.asarray(rng.integers(0, 2, BATCH), jnp.int32),
     }
-    model = build_model("ad", dim=128, depth=3, heads=4)
+    # bf16 activations/compute with f32 params: the TPU-idiomatic training
+    # mode (halves step time vs f32; see docs/PERFORMANCE.md).
+    model = build_model("ad", dim=128, depth=3, heads=4, dtype=jnp.bfloat16)
     tx, _ = build_optimizer("Adam", 1e-4, steps_per_epoch=1)
     state = create_state(
         model, tx, [batch["MRI"][..., None], batch["PET"][..., None]],

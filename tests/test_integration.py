@@ -111,3 +111,55 @@ class TestResume:
         t2.fit(tr, va, None)
         log = open(os.path.join(save_dir, "log.txt")).read()
         assert "Resumed from epoch 2" in log
+
+
+class TestHoldoutModes:
+    def test_adni12_mode(self, adni_root, tmp_path):
+        # ADNI12: train on ADNI1 CSV, test on ADNI2 CSV
+        import shutil
+
+        shutil.copy(os.path.join(adni_root, "ADNI.csv"),
+                    os.path.join(adni_root, "ADNI1_modality_complete.csv"))
+        shutil.copy(os.path.join(adni_root, "ADNI.csv"),
+                    os.path.join(adni_root, "ADNI2_modality_complete.csv"))
+        opt = _opt(adni_root, tmp_path, model="CNN", dataset="ADNI12",
+                   stage1_epochs=1, stage2_epochs=0)
+        res = run_holdout(opt)
+        assert len(res) == 6
+
+    def test_pretrain_mode(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="CNN", task="pretrain",
+                   stage1_epochs=1, stage2_epochs=0)
+        res = run_holdout(opt)
+        assert res is None  # no test set in pretrain mode
+
+
+class TestClassWeights:
+    def test_weighted_training_runs(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="CNN", num_folds=2,
+                   use_class_weights="True")
+        res = run_kfold(opt, variant="single")
+        assert len(res["folds"]) == 2
+
+
+class TestTrainerDataParallel:
+    def test_dp_trainer_on_virtual_mesh(self, adni_root, tmp_path):
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        from transmf_ad_tpu.data.adni import ADNI
+        from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        data = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(data)
+        tr = Loader(src, list(range(6)), 2, shuffle=True, drop_last=True)
+        va = Loader(src, [6, 7], 2)
+        cfg = TrainerConfig(model="cnn_ad", dim=8, epochs=1, aug=True,
+                            save_dir=str(tmp_path / "dp"), use_pallas=False,
+                            data_parallel=True, model_parallel=2)
+        t = Trainer(cfg)
+        assert t.mesh is not None and t.mesh.shape == {"data": 4, "model": 2}
+        res = t.fit(tr, va, va)
+        assert len(res) == 6 and np.isfinite(res[0])

@@ -47,6 +47,8 @@ class Options:
     use_pallas: Optional[str] = None  # 'True'/'False'/None(auto)
     resume: str = "False"
     prefetch: int = 2
+    dtype: Optional[str] = None  # 'bfloat16'/'float32'/None(auto: bf16 on TPU)
+    use_class_weights: str = "False"  # weight CE by inverse class frequency
 
     @property
     def aug_bool(self) -> bool:

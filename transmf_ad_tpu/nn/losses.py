@@ -25,7 +25,7 @@ def cross_entropy(logits, labels, weights: Optional[jnp.ndarray] = None):
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if weights is None:
         return jnp.mean(nll)
-    w = weights[labels]
+    w = jnp.asarray(weights)[labels]
     return jnp.sum(w * nll) / jnp.sum(w)
 
 

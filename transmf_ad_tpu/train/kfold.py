@@ -41,6 +41,19 @@ from .trainer import Trainer, TrainerConfig
 METRIC_NAMES = ("loss", "acc", "sen", "spe", "f1", "auc")
 
 
+def dataset_weights(records) -> "np.ndarray":
+    """Inverse-frequency class weights [1/n_neg, 1/n_pos]
+    (reference: utils/utils.py:70-82; computed per fold, applied only when
+    --use_class_weights True — the reference computes but never applies)."""
+    import numpy as _np
+
+    labels = [r["label"] for r in records]
+    n0, n1 = max(labels.count(0), 1), max(labels.count(1), 1)
+    print(f"negative class has {labels.count(0)} samples")
+    print(f"positive class has {labels.count(1)} samples")
+    return _np.array([1.0 / n0, 1.0 / n1], _np.float32)
+
+
 def task_seed(opt: Options) -> int:
     seed = 1
     if opt.task == "ADCN":
@@ -93,6 +106,7 @@ def _make_trainer_cfg(opt: Options, spec: Dict, fold_dir: str,
         seed=seed,
         save_dir=fold_dir,
         use_pallas=opt.use_pallas_opt,
+        dtype=opt.dtype or "auto",
         resume=opt.resume == "True",
     )
 
@@ -133,10 +147,14 @@ def run_kfold(opt: Options, variant: str = "adversarial",
         print(f"Val Datasets: {len(val_idx)}")
         print(f"Test Datasets: {len(test_idx)}")
 
+        weights = dataset_weights([source.records[i] for i in train_indices])
+        class_weights = weights if opt.use_class_weights == "True" else None
+
         fold_dir = os.path.join(save_dir, str(fold))
         cfg = _make_trainer_cfg(opt, spec, fold_dir, seed)
         trainer = Trainer(cfg, Logger(fold_dir))
-        res_fold = trainer.fit(train_loader, val_loader, test_loader)
+        res_fold = trainer.fit(train_loader, val_loader, test_loader,
+                               class_weights=class_weights)
         logger_main.print_message_nocli(
             f"loss: {res_fold[0]:.4f} accuracy: {res_fold[1]:.4f} "
             f"sensitivity: {res_fold[2]:.4f} specificity: {res_fold[3]:.4f} "
@@ -180,14 +198,33 @@ def partition_dataset(data: List, ratios, shuffle: bool = True,
 
 
 def run_holdout(opt: Options) -> List[float]:
-    """Hold-out driver (reference: train_adversarial.py:17-198): 60/20/20
-    partition, model_ad with heads=8, dim_head=dim//8, single training run."""
+    """Hold-out driver (reference: train_adversarial.py:17-198).
+
+    Dataset modes (reference: datasets/__init__.py:35-98):
+     - 'ADNI':   60/20/20 partition of ADNI.csv (default)
+     - 'ADNI12': train/val 80/20 on ADNI1_modality_complete.csv, test on
+                 ADNI2_modality_complete.csv
+     - task 'pretrain': 80/20 ADCN split with seed 965, no test set
+    """
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
     logger = Logger(save_dir)
-    data = ADNI(opt.dataroot, "ADNI.csv", opt.task).data_dict
-    train_d, val_d, test_d = partition_dataset(
-        data, [0.6, 0.2, 0.2], shuffle=True, seed=task_seed(opt)
-    )
+    if opt.dataset == "ADNI12":
+        adni1 = ADNI(opt.dataroot, "ADNI1_modality_complete.csv", opt.task)
+        adni2 = ADNI(opt.dataroot, "ADNI2_modality_complete.csv", opt.task)
+        train_d, val_d = partition_dataset(
+            adni1.data_dict, [0.8, 0.2], shuffle=True, seed=task_seed(opt)
+        )
+        test_d = adni2.data_dict
+    elif opt.task == "pretrain":
+        data = ADNI(opt.dataroot, "ADNI.csv", "ADCN").data_dict
+        train_d, val_d = partition_dataset(data, [0.8, 0.2], shuffle=True,
+                                           seed=965)
+        test_d = []
+    else:
+        data = ADNI(opt.dataroot, "ADNI.csv", opt.task).data_dict
+        train_d, val_d, test_d = partition_dataset(
+            data, [0.6, 0.2, 0.2], shuffle=True, seed=task_seed(opt)
+        )
     np.save(os.path.join(save_dir, "train.npy"), train_d, allow_pickle=True)
     np.save(os.path.join(save_dir, "val.npy"), val_d, allow_pickle=True)
     np.save(os.path.join(save_dir, "test.npy"), test_d, allow_pickle=True)
@@ -198,7 +235,8 @@ def run_holdout(opt: Options) -> List[float]:
                           shuffle=True, drop_last=True, seed=task_seed(opt),
                           prefetch=opt.prefetch)
     val_loader = Loader(source, list(range(n1, n2)), opt.batch_size)
-    test_loader = Loader(source, list(range(n2, len(source))), opt.batch_size)
+    test_loader = (Loader(source, list(range(n2, len(source))), opt.batch_size)
+                   if test_d else None)
 
     model = {"Transformer": "ad", "CNN": "cnn_ad"}[opt.model]
     cfg = TrainerConfig(
@@ -207,9 +245,13 @@ def run_holdout(opt: Options) -> List[float]:
         dropout=opt.dropout, optimizer=opt.optimizer, lr=opt.lr,
         weight_decay=opt.weight_decay, epochs=opt.epochs, aug=opt.aug_bool,
         seed=task_seed(opt), save_dir=save_dir,
-        use_pallas=opt.use_pallas_opt, resume=opt.resume == "True",
+        use_pallas=opt.use_pallas_opt, dtype=opt.dtype or "auto",
+        resume=opt.resume == "True",
     )
+    weights = dataset_weights(train_d)
+    class_weights = weights if opt.use_class_weights == "True" else None
     trainer = Trainer(cfg, logger)
-    res = trainer.fit(train_loader, val_loader, test_loader)
+    res = trainer.fit(train_loader, val_loader, test_loader,
+                      class_weights=class_weights)
     logger.print_message(f"Total params: {trainer.param_count()}")
     return res

@@ -51,18 +51,32 @@ class TrainerConfig:
     seed: int = 42
     save_dir: str = "./checkpoints/run"
     use_pallas: Optional[bool] = None
-    dtype: Any = None
+    dtype: Any = "auto"  # 'auto': bfloat16 on TPU, float32 elsewhere
     resume: bool = False
     save_latest_every: int = 0  # epochs between resume checkpoints; 0 = off
+    data_parallel: bool = True  # shard batch over all devices when > 1
+    model_parallel: int = 1  # tensor-parallel axis size (divides devices)
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    profile_steps: tuple = (10, 15)  # (start, stop) step of the trace
+    debug_nans: bool = False
 
 
 class Trainer:
     def __init__(self, cfg: TrainerConfig, logger: Optional[Logger] = None):
         self.cfg = cfg
         self.logger = logger or Logger(cfg.save_dir)
+        dtype = cfg.dtype
+        if isinstance(dtype, str):
+            if dtype == "auto":
+                dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+            elif dtype in ("float32", "f32"):
+                dtype = None
+            else:
+                dtype = jnp.dtype(dtype)
+        self.dtype = dtype
         self.model = build_model(
             cfg.model, dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
-            dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=cfg.dtype,
+            dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=dtype,
         )
         self.adversarial = cfg.model in ADVERSARIAL
         self.modalities: Tuple[str, ...] = (
@@ -70,6 +84,17 @@ class Trainer:
         )
         self.state = None
         self.lr_schedule = None
+        self.mesh = None
+        self._batch_sharding = None
+        self._replicated = None
+        if cfg.data_parallel and jax.device_count() > 1:
+            from ..parallel import make_mesh
+
+            n = jax.device_count()
+            mp = max(1, cfg.model_parallel)
+            self.mesh = make_mesh({"data": n // mp, "model": mp})
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
 
     # ----- setup -----
 
@@ -83,7 +108,25 @@ class Trainer:
         self.state = create_state(
             self.model, tx, inputs, jax.random.key(cfg.seed)
         )
+        if self.mesh is not None:
+            from ..parallel import batch_sharding, replicated, shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+            self._batch_sharding = batch_sharding(self.mesh)
+            self._replicated = replicated(self.mesh)
         return self.state
+
+    def _to_device(self, batch):
+        out = {}
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        for k, v in batch.items():
+            if k not in ("MRI", "PET", "label"):
+                continue
+            if n_data > 1 and v.shape[0] % n_data == 0:
+                out[k] = jax.device_put(v, self._batch_sharding)
+            else:  # ragged final batch: replicate rather than fail
+                out[k] = jnp.asarray(v)
+        return out
 
     def param_count(self) -> int:
         return sum(
@@ -95,7 +138,7 @@ class Trainer:
 
     def evaluate(self, loader) -> dict:
         eval_step = self._eval_step
-        outs = [eval_step(self.state, _device_batch(b)) for b in loader]
+        outs = [eval_step(self.state, self._to_device(b)) for b in loader]
         logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
         labels = np.concatenate([np.asarray(o["label"]) for o in outs])
         probs = np.concatenate([np.asarray(o["probs"]) for o in outs])
@@ -146,8 +189,18 @@ class Trainer:
                 start_epoch = int(restored["epoch"])
                 logger.print_message(f"Resumed from epoch {start_epoch}")
 
+        if self.mesh is not None and self._replicated is not None:
+            base_rng = jax.device_put(base_rng, self._replicated)
+
         def step_fn(engine, batch):
-            self.state, aux = train_step(self.state, _device_batch(batch),
+            if cfg.profile_dir:
+                if engine.state.iteration == cfg.profile_steps[0]:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                elif engine.state.iteration == cfg.profile_steps[1]:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), self.state.params)
+                    jax.profiler.stop_trace()
+            self.state, aux = train_step(self.state, self._to_device(batch),
                                          base_rng)
             epoch_outputs.append(aux)  # device arrays; not synced here
             return aux
@@ -164,8 +217,14 @@ class Trainer:
             labels = np.concatenate([np.asarray(o["label"]) for o in outs])
             acc = float((logits.argmax(-1) == labels).mean())
             lr = float(self.lr_schedule(int(self.state.step) - 1))
+            n_samples = labels.shape[0]
+            vps = n_samples / engine.state.epoch_time if engine.state.epoch_time else 0
             logger.print_message("-------------------------------------------------")
             logger.print_message(f"Current learning rate: {lr}")
+            logger.print_message(
+                f"Epoch time: {engine.state.epoch_time:.2f}s "
+                f"({vps:.2f} volumes/s)"
+            )
             logger.print_message(f"Training Results - Epoch[{engine.state.epoch}] ")
             msg = f"ce_loss: {ce:.4f} ad_loss: {ad:.4f} accuracy: {acc:.4f} "
             if self.adversarial:
@@ -220,11 +279,6 @@ def _fmt_metrics(m: dict) -> str:
         f"sensitivity: {m['sen']:.4f} specificity: {m['spe']:.4f} "
         f"f1 score: {m['f1']:.4f} AUC: {m['auc']:.4f} "
     )
-
-
-def _device_batch(batch):
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if k in ("MRI", "PET", "label")}
 
 
 def _saveable(state, full: bool = False):
