@@ -341,3 +341,55 @@ class TestStemKernel:
             stem_mod._stem_pallas = orig
         np.testing.assert_allclose(np.asarray(out_stem), np.asarray(out_ref),
                                    atol=2e-2)
+
+
+class TestConv3DKernel:
+    """Pallas body conv (ops/conv3d.py): interpret parity, both regimes."""
+
+    def test_im2col_regime_parity(self, rng):
+        from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 7, 9, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 16)) * 0.05,
+                        jnp.float32)
+        ref = _conv_reference(x, w, precision="highest")
+        out = conv3d_3x3(x, w, True, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_tapdot_regime_parity(self, rng):
+        from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
+
+        x = jnp.asarray(rng.standard_normal((1, 4, 5, 6, 128)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 128, 8)) * 0.02,
+                        jnp.float32)
+        ref = _conv_reference(x, w, precision="highest")
+        out = conv3d_3x3(x, w, True, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+    def test_grad_parity(self, rng):
+        from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
+
+        x = jnp.asarray(rng.standard_normal((1, 4, 5, 6, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 8)) * 0.05,
+                        jnp.float32)
+
+        def lp(x, w):
+            return jnp.sum(conv3d_3x3(x, w, True, True) ** 2)
+
+        def lr(x, w):
+            return jnp.sum(_conv_reference(x, w) ** 2)
+
+        g1 = jax.grad(lp, argnums=(0, 1))(x, w)
+        g2 = jax.grad(lr, argnums=(0, 1))(x, w)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)
+
+    def test_vmem_guard_falls_back(self, rng):
+        from transmf_ad_tpu.ops.conv3d import _eligible
+
+        big = jnp.zeros((1, 91, 109, 91, 64), jnp.float32)
+        w = jnp.zeros((3, 3, 3, 64, 64), jnp.float32)
+        assert not _eligible(big, w)  # would blow VMEM -> XLA fallback
+        small = jnp.zeros((1, 22, 27, 22, 64), jnp.float32)
+        assert _eligible(small, jnp.zeros((3, 3, 3, 64, 128)))

@@ -49,6 +49,7 @@ class Options:
     prefetch: int = 2
     dtype: Optional[str] = None  # 'bfloat16'/'float32'/None(auto: bf16 on TPU)
     use_class_weights: str = "False"  # weight CE by inverse class frequency
+    pretrained: str = ""  # checkpoint to load before training (e.g. pretrainAD)
 
     @property
     def aug_bool(self) -> bool:

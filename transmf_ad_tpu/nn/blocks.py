@@ -69,8 +69,19 @@ class ConvBNAct(nn.Module):
         use_stem = self.use_stem_kernel
         if use_stem is None:
             use_stem = stem_ok and jax.default_backend() == "tpu"
+        body_ok = (
+            cin > 1
+            and self.kernel == (3, 3, 3)
+            and self.strides == (1, 1, 1)
+            and self.padding == "SAME"
+            and self.precision is None
+        )
         if use_stem and stem_ok:
             y = stem_conv(xd[..., 0], kd[:, :, :, 0, :]) + bd
+        elif body_ok:
+            from ..ops.conv3d import conv3d_3x3
+
+            y = conv3d_3x3(xd, kd, self.use_stem_kernel) + bd
         else:
             y = jax.lax.conv_general_dilated(
                 xd, kd, self.strides, self.padding,

@@ -108,6 +108,7 @@ def _make_trainer_cfg(opt: Options, spec: Dict, fold_dir: str,
         use_pallas=opt.use_pallas_opt,
         dtype=opt.dtype or "auto",
         resume=opt.resume == "True",
+        pretrained_path=opt.pretrained,
     )
 
 

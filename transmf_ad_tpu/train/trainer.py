@@ -56,6 +56,9 @@ class TrainerConfig:
     save_latest_every: int = 0  # epochs between resume checkpoints; 0 = off
     data_parallel: bool = True  # shard batch over all devices when > 1
     model_parallel: int = 1  # tensor-parallel axis size (divides devices)
+    pretrained_path: str = ""  # load params/batch_stats before training
+    # (the reference only hints at this via a commented-out block,
+    # reference: kfold_train_adversarial.py:80-83)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     profile_steps: tuple = (10, 15)  # (start, stop) step of the trace
     debug_nans: bool = False
@@ -108,6 +111,11 @@ class Trainer:
         self.state = create_state(
             self.model, tx, inputs, jax.random.key(cfg.seed)
         )
+        if cfg.pretrained_path:
+            restored = ckpt.load(cfg.pretrained_path, _saveable(self.state))
+            self.state = _restore_state(self.state, restored)
+            self.logger.print_message(
+                f"Load pre-training model {cfg.pretrained_path}")
         if self.mesh is not None:
             from ..parallel import batch_sharding, replicated, shard_state
 
@@ -155,6 +163,17 @@ class Trainer:
             "confusion": conf,
             **m,
         }
+
+    def predict(self, loader):
+        """Inference: positive-class probabilities + labels over a loader."""
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.modalities, self.adversarial)
+        probs, labels = [], []
+        for b in loader:
+            o = self._eval_step(self.state, self._to_device(b))
+            probs.append(np.asarray(o["probs"]))
+            labels.append(np.asarray(o["label"]))
+        return np.concatenate(probs), np.concatenate(labels)
 
     # ----- training -----
 
