@@ -163,3 +163,32 @@ class TestTrainerDataParallel:
         assert t.mesh is not None and t.mesh.shape == {"data": 4, "model": 2}
         res = t.fit(tr, va, va)
         assert len(res) == 6 and np.isfinite(res[0])
+
+
+class TestEvaluateCLI:
+    def test_evaluate_from_checkpoint(self, adni_root, tmp_path):
+        import subprocess
+        import sys
+
+        # train one tiny fold to produce a checkpoint
+        opt = _opt(adni_root, tmp_path, model="CNN", num_folds=2,
+                   stage1_epochs=1, stage2_epochs=0)
+        run_kfold(opt, variant="adversarial")
+        ckpt_glob = os.path.join(opt.checkpoints_dir, opt.name, "0",
+                                 "best_label_net_model_*.msgpack")
+        assert glob.glob(ckpt_glob)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "evaluate.py",
+             "--checkpoint", ckpt_glob,
+             "--name", opt.name, "--task", "ADCN", "--model", "CNN",
+             "--dataroot", adni_root,
+             "--checkpoints_dir", opt.checkpoints_dir,
+             "--dim", "16", "--heads", "2", "--trans_enc_depth", "1",
+             "--use_pallas", "False", "--dtype", "float32",
+             "--batch_size", "4"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "accuracy:" in out.stdout

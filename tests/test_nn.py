@@ -393,3 +393,31 @@ class TestConv3DKernel:
         assert not _eligible(big, w)  # would blow VMEM -> XLA fallback
         small = jnp.zeros((1, 22, 27, 22, 64), jnp.float32)
         assert _eligible(small, jnp.zeros((3, 3, 3, 64, 128)))
+
+
+class TestFusedTokenPool:
+    def test_parity_interpret(self, rng):
+        from transmf_ad_tpu.ops.pooling import fused_token_pool, pool_reference
+
+        mri = jnp.asarray(rng.standard_normal((2, 150, 32)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((2, 150, 32)), jnp.float32)
+        ref = pool_reference(mri, pet)
+        out = fused_token_pool(mri, pet, True, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_grad_parity(self, rng):
+        from transmf_ad_tpu.ops.pooling import fused_token_pool, pool_reference
+
+        mri = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((1, 9, 8)), jnp.float32)
+
+        def lp(m, p):
+            return jnp.sum(fused_token_pool(m, p, True, True) ** 2)
+
+        def lr(m, p):
+            return jnp.sum(pool_reference(m, p) ** 2)
+
+        g1 = jax.grad(lp, argnums=(0, 1))(mri, pet)
+        g2 = jax.grad(lr, argnums=(0, 1))(mri, pet)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

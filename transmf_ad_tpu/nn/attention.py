@@ -201,10 +201,11 @@ class CrossTransformerModAvg(nn.Module):
         for _ in range(self.depth):
             mri = Transformer(**kw)(mri, context=pet, train=train) + mri
             pet = Transformer(**kw)(pet, context=mri, train=train) + pet
-        mri_avg, mri_max = jnp.mean(mri, axis=1), jnp.max(mri, axis=1)
-        pet_avg, pet_max = jnp.mean(pet, axis=1), jnp.max(pet, axis=1)
-        # concat order matches reference: [mri_avg, pet_avg, mri_max, pet_max]
-        return jnp.concatenate([mri_avg, pet_avg, mri_max, pet_max], axis=-1)
+        # fused GAP+GMP head; concat order matches the reference:
+        # [mri_avg, pet_avg, mri_max, pet_max]
+        from ..ops.pooling import fused_token_pool
+
+        return fused_token_pool(mri, pet, use_pallas=self.use_pallas)
 
 
 class PositionalEncoding1D(nn.Module):

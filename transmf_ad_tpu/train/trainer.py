@@ -230,6 +230,11 @@ class Trainer:
         def log_train(engine):
             outs = list(epoch_outputs)
             epoch_outputs.clear()
+            if not outs:  # drop_last can empty a tiny fold's epoch
+                logger.print_message(
+                    f"Training Results - Epoch[{engine.state.epoch}] "
+                    "(no full batches)")
+                return
             ce = float(np.mean([np.asarray(o["ce_loss"]) for o in outs]))
             ad = float(np.mean([np.asarray(o["ad_loss"]) for o in outs]))
             logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
