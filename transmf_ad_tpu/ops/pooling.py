@@ -20,28 +20,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pool_kernel(mri_ref, pet_ref, o_ref, *, dim):
-    mri = mri_ref[0].astype(jnp.float32)  # (N, D)
-    pet = pet_ref[0].astype(jnp.float32)
-    o_ref[0, 0 * dim : 1 * dim] = jnp.mean(mri, axis=0).astype(o_ref.dtype)
-    o_ref[0, 1 * dim : 2 * dim] = jnp.mean(pet, axis=0).astype(o_ref.dtype)
-    o_ref[0, 2 * dim : 3 * dim] = jnp.max(mri, axis=0).astype(o_ref.dtype)
-    o_ref[0, 3 * dim : 4 * dim] = jnp.max(pet, axis=0).astype(o_ref.dtype)
+    mri = mri_ref[...].astype(jnp.float32)  # (B, N, D)
+    pet = pet_ref[...].astype(jnp.float32)
+    o_ref[:, 0 * dim : 1 * dim] = jnp.mean(mri, axis=1).astype(o_ref.dtype)
+    o_ref[:, 1 * dim : 2 * dim] = jnp.mean(pet, axis=1).astype(o_ref.dtype)
+    o_ref[:, 2 * dim : 3 * dim] = jnp.max(mri, axis=1).astype(o_ref.dtype)
+    o_ref[:, 3 * dim : 4 * dim] = jnp.max(pet, axis=1).astype(o_ref.dtype)
 
 
 def _pool_pallas(mri, pet, interpret=False):
     b, n, d = mri.shape
+    # single program over the whole (small) token tensors: B*N*D stays a
+    # few MB even at full-resolution token counts
     return pl.pallas_call(
         functools.partial(_pool_kernel, dim=d),
         out_shape=jax.ShapeDtypeStruct((b, 4 * d), mri.dtype),
-        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4 * d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(mri, pet)
 
