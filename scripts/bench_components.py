@@ -7,18 +7,28 @@ throughput) and prints a table. Used to track kernel wins between rounds;
 the headline number stays in bench.py.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(r):
+    # Fetch ONE element (device-side slice): converting the full output to
+    # numpy would drag GBs through the TPU tunnel and corrupt the timing.
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return float(leaf.ravel()[0])
+
 
 def timeit(f, *a, n=10):
-    r = f(*a)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
+    _sync(f(*a))
     t0 = time.perf_counter()
     for _ in range(n):
         r = f(*a)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0])
+    _sync(r)
     return (time.perf_counter() - t0) / n
 
 

@@ -192,3 +192,26 @@ class TestEvaluateCLI:
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "accuracy:" in out.stdout
+
+
+class TestKFoldVariants:
+    """ADVIT and Mnet driver variants end-to-end (tiny synthetic volumes,
+    padded to each variant's geometry)."""
+
+    def test_advit_variant(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="Transformer", num_folds=2,
+                   batch_size=3, stage1_epochs=1, stage2_epochs=0)
+        # pad depth to 79 (the DepthCollapse geometry); small plane for CPU
+        res = run_kfold(opt, variant="advit", pad_to_override=(32, 32, 79))
+        assert len(res["folds"]) == 2
+        log = open(os.path.join(opt.checkpoints_dir, opt.name, "0",
+                                "log.txt")).read()
+        assert "Test Results" in log
+
+    def test_mnet_variant(self, adni_root, tmp_path):
+        opt = _opt(adni_root, tmp_path, model="CNN", num_folds=2,
+                   batch_size=3, stage1_epochs=1, stage2_epochs=0)
+        # Mnet hard-codes (91,109,91) slice lengths - the variant default
+        res = run_kfold(opt, variant="mnet")
+        assert len(res["folds"]) == 2
+        assert np.isfinite(res["folds"][0][0])

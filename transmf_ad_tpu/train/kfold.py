@@ -77,14 +77,19 @@ def _variant_spec(variant: str, opt: Options) -> Dict:
                     optimizer=opt.optimizer, lr=opt.lr, momentum=0.0,
                     milestones=None, epochs=opt.epochs, aug=opt.aug_bool,
                     modalities=("MRI",))
+    # ADVIT/Mnet reference drivers hard-code 40 epochs
+    # (kfold_train_ADVIT.py:225, kfold_train_Mnet.py:226) — equal to the
+    # default stage1+stage2 sum, so opt.epochs preserves that default
+    # while staying overridable.
     if variant == "advit":
         return dict(model="advit", pad_to=(128, 128, 79), drop_last=True,
                     optimizer="Adam", lr=1e-4, momentum=0.0, milestones=(),
-                    epochs=40, aug=False, modalities=("MRI", "PET"))
+                    epochs=opt.epochs, aug=False, modalities=("MRI", "PET"))
     if variant == "mnet":
         return dict(model="mnet", pad_to=(91, 109, 91), drop_last=True,
                     optimizer="SGD", lr=1e-3, momentum=0.9, milestones=(6, 21),
-                    epochs=40, aug=opt.aug_bool, modalities=("MRI", "PET"))
+                    epochs=opt.epochs, aug=opt.aug_bool,
+                    modalities=("MRI", "PET"))
     raise ValueError(f"unknown variant {variant!r}")
 
 
