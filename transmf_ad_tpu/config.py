@@ -50,6 +50,8 @@ class Options:
     dtype: Optional[str] = None  # 'bfloat16'/'float32'/None(auto: bf16 on TPU)
     use_class_weights: str = "False"  # weight CE by inverse class frequency
     pretrained: str = ""  # checkpoint to load before training (e.g. pretrainAD)
+    remat: str = "False"  # rematerialize encoders (memory for recompute)
+    debug_nans: str = "False"
 
     @property
     def aug_bool(self) -> bool:

@@ -21,9 +21,20 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax.linen import remat as nn_remat
+
 from ..nn.attention import CrossTransformer, CrossTransformerModAvg, _dense
 from ..nn.blocks import SNet, global_avg_pool, tokens_from_volume
 from ..nn.grl import revgrad
+
+
+def _snet_cls(use_remat: bool):
+    """SNet, optionally rematerialized (jax.checkpoint): trades encoder
+    recompute for activation memory — relevant at full-resolution volumes
+    where the conv activations dominate HBM."""
+    if use_remat:
+        return nn_remat(SNet, static_argnums=(2,))
+    return SNet
 
 Dtype = Any
 
@@ -96,11 +107,13 @@ class ModelSingle(nn.Module):
     dim: int = 128
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False):
-        feat = SNet(self.dim, dtype=self.dtype, precision=self.precision,
-                    name="cnn")(img, train)
+        feat = _snet_cls(self.remat)(
+            self.dim, dtype=self.dtype, precision=self.precision,
+            name="cnn")(img, train)
         vec = global_avg_pool(feat)
         return _MLPHead(64, in_features=self.dim, dtype=self.dtype,
                         precision=self.precision, name="fc")(vec)
@@ -112,12 +125,14 @@ class ModelCNN(nn.Module):
     dim: int = 128
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
-        mri_vec = global_avg_pool(SNet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_vec = global_avg_pool(SNet(self.dim, name="pet_cnn", **kw)(pet, train))
+        snet = _snet_cls(self.remat)
+        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **kw)(mri, train))
+        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **kw)(pet, train))
         fused = jnp.concatenate([mri_vec, pet_vec], axis=-1)
         return _MLPHead(128, in_features=2 * self.dim, name="fc", **kw)(fused)
 
@@ -134,12 +149,14 @@ class ModelTransformer(nn.Module):
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
-        mri_tok = tokens_from_volume(SNet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_tok = tokens_from_volume(SNet(self.dim, name="pet_cnn", **kw)(pet, train))
+        snet = _snet_cls(self.remat)
+        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **kw)(mri, train))
+        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **kw)(pet, train))
         fused = CrossTransformerModAvg(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
@@ -159,12 +176,14 @@ class ModelTransformerRes(nn.Module):
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
-        mri_tok = tokens_from_volume(SNet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_tok = tokens_from_volume(SNet(self.dim, name="pet_cnn", **kw)(pet, train))
+        snet = _snet_cls(self.remat)
+        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **kw)(mri, train))
+        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **kw)(pet, train))
         mri_f, pet_f = CrossTransformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
@@ -189,12 +208,14 @@ class ModelCNNAd(nn.Module):
     grl_alpha: float = 2.0
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
-        mri_vec = global_avg_pool(SNet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_vec = global_avg_pool(SNet(self.dim, name="pet_cnn", **kw)(pet, train))
+        snet = _snet_cls(self.remat)
+        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **kw)(mri, train))
+        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **kw)(pet, train))
 
         disc = _Discriminator(name="D", **kw)
         d_mri = disc(revgrad(mri_vec, self.grl_alpha), train)
@@ -219,12 +240,14 @@ class ModelAd(nn.Module):
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
-        mri_feat = SNet(self.dim, name="mri_cnn", **kw)(mri, train)
-        pet_feat = SNet(self.dim, name="pet_cnn", **kw)(pet, train)
+        snet = _snet_cls(self.remat)
+        mri_feat = snet(self.dim, name="mri_cnn", **kw)(mri, train)
+        pet_feat = snet(self.dim, name="pet_cnn", **kw)(pet, train)
 
         disc = _Discriminator(name="D", **kw)
         d_mri = disc(revgrad(global_avg_pool(mri_feat), self.grl_alpha), train)

@@ -114,6 +114,8 @@ def _make_trainer_cfg(opt: Options, spec: Dict, fold_dir: str,
         dtype=opt.dtype or "auto",
         resume=opt.resume == "True",
         pretrained_path=opt.pretrained,
+        remat=opt.remat == "True",
+        debug_nans=opt.debug_nans == "True",
     )
 
 

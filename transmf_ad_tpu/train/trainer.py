@@ -57,6 +57,7 @@ class TrainerConfig:
     data_parallel: bool = True  # shard batch over all devices when > 1
     model_parallel: int = 1  # tensor-parallel axis size (divides devices)
     pretrained_path: str = ""  # load params/batch_stats before training
+    remat: bool = False  # rematerialize sNet encoders (activation memory)
     # (the reference only hints at this via a commented-out block,
     # reference: kfold_train_adversarial.py:80-83)
     profile_dir: Optional[str] = None  # jax.profiler trace output
@@ -80,6 +81,7 @@ class Trainer:
         self.model = build_model(
             cfg.model, dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
             dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=dtype,
+            remat=cfg.remat,
         )
         self.adversarial = cfg.model in ADVERSARIAL
         self.modalities: Tuple[str, ...] = (
