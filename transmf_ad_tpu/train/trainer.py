@@ -65,10 +65,26 @@ class TrainerConfig:
     debug_nans: bool = False
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: folds 2..K of a k-fold run (and any
+    rerun) reuse fold 1's executables instead of recompiling (~minutes per
+    fold on the TPU tunnel). Opt out with TRANSMF_NO_COMPILE_CACHE=1."""
+    if os.environ.get("TRANSMF_NO_COMPILE_CACHE"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured by the caller
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "transmf_ad_tpu", "xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 class Trainer:
     def __init__(self, cfg: TrainerConfig, logger: Optional[Logger] = None):
         self.cfg = cfg
         self.logger = logger or Logger(cfg.save_dir)
+        _enable_compile_cache()
         dtype = cfg.dtype
         if isinstance(dtype, str):
             if dtype == "auto":
