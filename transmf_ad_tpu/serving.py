@@ -1,0 +1,65 @@
+"""Serving: ahead-of-time exported inference artifacts.
+
+The reference has no deployment story (checkpoints can only be reloaded
+into the training scripts). Here a trained model exports to a portable
+StableHLO artifact via `jax.export`: the jitted eval-mode forward (params
+baked in, softmax head) serialized to bytes that a serving process can load
+and call without the model code — and, being StableHLO, compile for TPU or
+CPU at load time.
+
+    export_inference(state, modalities, adversarial, path, input_shape)
+    fn = load_inference(path)          # fn(mri, pet) -> (B, 2) probabilities
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_inference_fn(state, modalities: Sequence[str], adversarial: bool):
+    """Eval-mode forward closed over trained params: volumes -> probs."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    apply_fn = state.apply_fn
+
+    def infer(*vols):
+        out = apply_fn(variables, *[v[..., None] for v in vols], train=False)
+        logits = out[0] if adversarial else out
+        return jax.nn.softmax(logits, axis=-1)
+
+    return infer
+
+
+def export_inference(state, modalities: Sequence[str], adversarial: bool,
+                     path: str, input_shape: Tuple[int, ...],
+                     batch_size: int = 8, dtype=jnp.float32) -> str:
+    """Serialize the inference function to a StableHLO artifact at `path`."""
+    from jax import export as jexport
+
+    infer = make_inference_fn(state, modalities, adversarial)
+    args = [
+        jax.ShapeDtypeStruct((batch_size, *input_shape), dtype)
+        for _ in modalities
+    ]
+    exported = jexport.export(jax.jit(infer))(*args)
+    data = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_inference(path: str):
+    """Load an exported artifact; returns fn(*volumes) -> probabilities."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def fn(*vols):
+        return exported.call(*[jnp.asarray(v) for v in vols])
+
+    return fn
