@@ -107,13 +107,14 @@ class ModelSingle(nn.Module):
     dim: int = 128
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = _snet_cls(self.remat)(
             self.dim, dtype=self.dtype, precision=self.precision,
-            name="cnn")(img, train)
+            use_pallas=self.use_pallas, name="cnn")(img, train)
         vec = global_avg_pool(feat)
         return _MLPHead(64, in_features=self.dim, dtype=self.dtype,
                         precision=self.precision, name="fc")(vec)
@@ -125,11 +126,13 @@ class ModelCNN(nn.Module):
     dim: int = 128
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
-        kw = dict(dtype=self.dtype, precision=self.precision)
+        kw = dict(dtype=self.dtype, precision=self.precision,
+                  use_pallas=self.use_pallas)
         snet = _snet_cls(self.remat)
         mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **kw)(mri, train))
         pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **kw)(pet, train))
@@ -155,8 +158,9 @@ class ModelTransformer(nn.Module):
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **kw)(pet, train))
+        skw = dict(use_pallas=self.use_pallas, **kw)
+        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **skw)(mri, train))
+        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **skw)(pet, train))
         fused = CrossTransformerModAvg(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
@@ -182,8 +186,9 @@ class ModelTransformerRes(nn.Module):
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **kw)(pet, train))
+        skw = dict(use_pallas=self.use_pallas, **kw)
+        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **skw)(mri, train))
+        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **skw)(pet, train))
         mri_f, pet_f = CrossTransformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
@@ -208,11 +213,13 @@ class ModelCNNAd(nn.Module):
     grl_alpha: float = 2.0
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
-        kw = dict(dtype=self.dtype, precision=self.precision)
+        kw = dict(dtype=self.dtype, precision=self.precision,
+                  use_pallas=self.use_pallas)
         snet = _snet_cls(self.remat)
         mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **kw)(mri, train))
         pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **kw)(pet, train))
@@ -246,8 +253,9 @@ class ModelAd(nn.Module):
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        mri_feat = snet(self.dim, name="mri_cnn", **kw)(mri, train)
-        pet_feat = snet(self.dim, name="pet_cnn", **kw)(pet, train)
+        skw = dict(use_pallas=self.use_pallas, **kw)
+        mri_feat = snet(self.dim, name="mri_cnn", **skw)(mri, train)
+        pet_feat = snet(self.dim, name="pet_cnn", **skw)(pet, train)
 
         disc = _Discriminator(name="D", **kw)
         d_mri = disc(revgrad(global_avg_pool(mri_feat), self.grl_alpha), train)

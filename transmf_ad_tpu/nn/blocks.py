@@ -131,11 +131,12 @@ class SNet(nn.Module):
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
     axis_name: Optional[str] = None
+    use_pallas: Optional[bool] = None  # None=auto; False forces XLA convs
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision,
-                  axis_name=self.axis_name)
+                  axis_name=self.axis_name, use_stem_kernel=self.use_pallas)
         d = self.dim
         x = ConvBNAct(d // 4, **kw)(x, train)
         x = max_pool3d(x)
