@@ -131,11 +131,11 @@ class ModelCNN(nn.Module):
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
-        kw = dict(dtype=self.dtype, precision=self.precision,
-                  use_pallas=self.use_pallas)
+        kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **kw)(pet, train))
+        skw = dict(use_pallas=self.use_pallas, **kw)
+        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **skw)(mri, train))
+        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **skw)(pet, train))
         fused = jnp.concatenate([mri_vec, pet_vec], axis=-1)
         return _MLPHead(128, in_features=2 * self.dim, name="fc", **kw)(fused)
 
@@ -218,11 +218,11 @@ class ModelCNNAd(nn.Module):
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
-        kw = dict(dtype=self.dtype, precision=self.precision,
-                  use_pallas=self.use_pallas)
+        kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **kw)(mri, train))
-        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **kw)(pet, train))
+        skw = dict(use_pallas=self.use_pallas, **kw)
+        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **skw)(mri, train))
+        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **skw)(pet, train))
 
         disc = _Discriminator(name="D", **kw)
         d_mri = disc(revgrad(mri_vec, self.grl_alpha), train)
