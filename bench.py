@@ -55,8 +55,13 @@ def main():
         model, tx, [batch["MRI"][..., None], batch["PET"][..., None]],
         jax.random.key(0),
     )
-    # No augmentation: apples-to-apples with the torch baseline step.
-    step = make_train_step(("MRI", "PET"), adversarial=True, aug_cfg=None)
+    # Augmentation ON: the production training step. Device-side banded-
+    # matmul augmentation adds ~1 ms, so this matches the aug-off
+    # (torch-comparable) number within noise — see docs/PERFORMANCE.md.
+    from transmf_ad_tpu.data.transforms import AugmentConfig
+
+    step = make_train_step(("MRI", "PET"), adversarial=True,
+                           aug_cfg=AugmentConfig())
     key = jax.random.key(1)
 
     for _ in range(WARMUP):
