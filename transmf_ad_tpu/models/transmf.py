@@ -29,11 +29,15 @@ from ..nn.grl import revgrad
 
 
 def _snet_cls(use_remat: bool):
-    """SNet, optionally rematerialized (jax.checkpoint): trades encoder
-    recompute for activation memory — relevant at full-resolution volumes
-    where the conv activations dominate HBM."""
+    """SNet with per-block rematerialization when requested: trades conv
+    recompute for activation memory (enables larger per-chip batches /
+    full-resolution volumes). Block-level granularity matters: rematting
+    the whole encoder would re-materialize every stage at once in the
+    backward and save no peak memory."""
+    import functools
+
     if use_remat:
-        return nn_remat(SNet, static_argnums=(2,))
+        return functools.partial(SNet, remat=True)
     return SNet
 
 Dtype = Any

@@ -132,22 +132,28 @@ class SNet(nn.Module):
     precision: Optional[Any] = None
     axis_name: Optional[str] = None
     use_pallas: Optional[bool] = None  # None=auto; False forces XLA convs
+    remat: bool = False  # rematerialize per conv block (activation memory)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name, use_stem_kernel=self.use_pallas)
+        # Per-block remat: each ConvBNAct recomputes in backward, so only
+        # one stage's activations are live at a time (whole-encoder remat
+        # would re-materialize every stage at once and save nothing).
+        Blk = (nn.remat(ConvBNAct, static_argnums=(2,)) if self.remat
+               else ConvBNAct)
         d = self.dim
-        x = ConvBNAct(d // 4, **kw)(x, train)
+        x = Blk(d // 4, **kw)(x, train)
         x = max_pool3d(x)
-        x = ConvBNAct(d // 4, **kw)(x, train)
-        x = ConvBNAct(d // 2, **kw)(x, train)
+        x = Blk(d // 4, **kw)(x, train)
+        x = Blk(d // 2, **kw)(x, train)
         x = max_pool3d(x)
-        x = ConvBNAct(d // 2, **kw)(x, train)
-        x = ConvBNAct(d, **kw)(x, train)
+        x = Blk(d // 2, **kw)(x, train)
+        x = Blk(d, **kw)(x, train)
         x = max_pool3d(x)
-        x = ConvBNAct(d * 2, **kw)(x, train)
-        x = ConvBNAct(d, kernel=(1, 1, 1), **kw)(x, train)
+        x = Blk(d * 2, **kw)(x, train)
+        x = Blk(d, kernel=(1, 1, 1), **kw)(x, train)
         x = avg_pool3d(x)
         return x
 
