@@ -21,8 +21,6 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from flax.linen import remat as nn_remat
-
 from ..nn.attention import CrossTransformer, CrossTransformerModAvg, _dense
 from ..nn.blocks import SNet, global_avg_pool, tokens_from_volume
 from ..nn.grl import revgrad
