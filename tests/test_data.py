@@ -211,3 +211,40 @@ class TestNativeLoader:
         a, b = s_py[0], s_nat[0]
         np.testing.assert_allclose(a["MRI"], b["MRI"], atol=1e-5)
         np.testing.assert_allclose(a["PET"], b["PET"], atol=1e-5)
+
+
+class TestBigEndianNifti:
+    def _write_big_endian(self, path, vol):
+        """Hand-craft a big-endian NIfTI-1 (the parser's swap path)."""
+        import struct
+
+        hdr = bytearray(348)
+        struct.pack_into(">i", hdr, 0, 348)
+        dim = [vol.ndim] + list(vol.shape) + [1] * (7 - vol.ndim)
+        struct.pack_into(">8h", hdr, 40, *dim)
+        struct.pack_into(">h", hdr, 70, 16)  # float32
+        struct.pack_into(">h", hdr, 72, 32)
+        struct.pack_into(">f", hdr, 108, 352.0)
+        struct.pack_into(">2f", hdr, 112, 1.0, 0.0)
+        hdr[344:348] = b"n+1\x00"
+        payload = bytes(hdr) + b"\x00" * 4 + (
+            vol.astype(">f4").tobytes(order="F"))
+        open(path, "wb").write(payload)
+
+    def test_python_parser_swaps(self, tmp_path, rng):
+        vol = rng.standard_normal((5, 6, 4)).astype(np.float32)
+        p = str(tmp_path / "be.nii")
+        self._write_big_endian(p, vol)
+        out = nifti.load(p)
+        np.testing.assert_allclose(out, vol, atol=1e-6)
+
+    def test_native_parser_swaps(self, tmp_path, rng):
+        from transmf_ad_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        vol = rng.standard_normal((5, 6, 4)).astype(np.float32)
+        p = str(tmp_path / "be.nii")
+        self._write_big_endian(p, vol)
+        out = native_loader.decode(p, (5, 6, 4), normalize=False)
+        np.testing.assert_allclose(out, vol, atol=1e-6)
