@@ -11,7 +11,6 @@ data-parallel step: XLA inserts the gradient/batch-stat all-reduces.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
