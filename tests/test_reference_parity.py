@@ -196,3 +196,55 @@ class TestModelSingleParity:
                               train=False)
         np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
                                    atol=2e-4, rtol=1e-3)
+
+
+class TestModelCNNAdParity:
+    def test_eval_logits_match_reference(self, rng):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+
+        sys.path.insert(0, REFERENCE)
+        from models.mymodel import model_CNN_ad
+
+        dim = 16
+        ours = build_model("cnn_ad", dim=dim, use_pallas=False,
+                           precision="highest")
+        mri = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        pet = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        variables = ours.init(jax.random.key(2),
+                              jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        theirs = model_CNN_ad(dim=dim)
+        theirs.eval()
+        with torch.no_grad():
+            _load_snet(theirs.mri_cnn, params["mri_cnn"], stats["mri_cnn"])
+            _load_snet(theirs.pet_cnn, params["pet_cnn"], stats["pet_cnn"])
+            _to_torch_linear(theirs.D[0], params["D"]["Dense_0"]["kernel"],
+                             params["D"]["Dense_0"]["bias"])
+            _to_torch_bn(theirs.D[1], params["D"]["BatchNorm_0"],
+                         stats["D"]["BatchNorm_0"])
+            _to_torch_linear(theirs.D[3], params["D"]["Dense_1"]["kernel"],
+                             params["D"]["Dense_1"]["bias"])
+            fc = params["fc_cls"]
+            _to_torch_linear(theirs.fc_cls[0], fc["Dense_0"]["kernel"],
+                             fc["Dense_0"]["bias"])
+            _to_torch_linear(theirs.fc_cls[2], fc["Dense_1"]["kernel"],
+                             fc["Dense_1"]["bias"])
+            t_logits, t_dmri, t_dpet = theirs(
+                torch.from_numpy(mri).unsqueeze(1),
+                torch.from_numpy(pet).unsqueeze(1),
+            )
+
+        j_logits, j_dmri, j_dpet = ours.apply(
+            variables, jnp.asarray(mri[..., None]), jnp.asarray(pet[..., None]),
+            train=False,
+        )
+        for a, b in ((j_logits, t_logits), (j_dmri, t_dmri), (j_dpet, t_dpet)):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(),
+                                       atol=2e-4, rtol=1e-3)

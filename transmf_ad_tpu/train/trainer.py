@@ -163,6 +163,8 @@ class Trainer:
     # ----- evaluation -----
 
     def evaluate(self, loader) -> dict:
+        if getattr(self, "_eval_step", None) is None:
+            self._eval_step = make_eval_step(self.modalities, self.adversarial)
         eval_step = self._eval_step
         outs = [eval_step(self.state, self._to_device(b)) for b in loader]
         logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
