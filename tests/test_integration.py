@@ -112,6 +112,58 @@ class TestResume:
         log = open(os.path.join(save_dir, "log.txt")).read()
         assert "Resumed from epoch 2" in log
 
+    def test_resume_restores_optimizer_state_and_step(self, adni_root,
+                                                      tmp_path):
+        """Continuity: 1 epoch + kill + resume + 1 epoch must produce the
+        SAME parameters as 2 uninterrupted epochs — i.e. Adam moments,
+        bias-correction count, the step counter and the step-indexed LR
+        schedule all survive the restart (the reference cannot resume at
+        all, reference: kfold_train_adversarial.py:222-233 saves params
+        only)."""
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.data.adni import ADNI
+        from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        data = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(data, keys=("MRI",))
+
+        def loaders():
+            # shuffle off: data order must match across the two runs
+            return (Loader(src, list(range(6)), 3), Loader(src, [6, 7], 2))
+
+        def cfg(save_dir, epochs, resume=False):
+            return TrainerConfig(
+                model="single", dim=8, epochs=epochs, aug=False, lr=1e-3,
+                save_dir=save_dir, save_latest_every=1, resume=resume,
+                use_pallas=False, dtype="float32", seed=7,
+            )
+
+        # Run A: 2 uninterrupted epochs.
+        tr, va = loaders()
+        ta = Trainer(cfg(str(tmp_path / "a"), epochs=2))
+        ta.fit(tr, va, None)
+
+        # Run B: 1 epoch, "crash", new process-equivalent Trainer resumes.
+        tr, va = loaders()
+        tb1 = Trainer(cfg(str(tmp_path / "b"), epochs=1))
+        tb1.fit(tr, va, None)
+        tr, va = loaders()
+        tb2 = Trainer(cfg(str(tmp_path / "b"), epochs=2, resume=True))
+        tb2.fit(tr, va, None)
+
+        assert int(tb2.state.step) == int(ta.state.step)
+        flat_a = jax.tree_util.tree_leaves(ta.state.params)
+        flat_b = jax.tree_util.tree_leaves(tb2.state.params)
+        for pa, pb in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        # optimizer moments themselves continue identically too
+        for ma, mb in zip(jax.tree_util.tree_leaves(ta.state.opt_state),
+                          jax.tree_util.tree_leaves(tb2.state.opt_state)):
+            np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+
 
 class TestHoldoutModes:
     def test_adni12_mode(self, adni_root, tmp_path):

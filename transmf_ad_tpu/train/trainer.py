@@ -220,11 +220,30 @@ class Trainer:
         start_epoch = 0
 
         if cfg.resume:
-            restored = ckpt.load_latest(cfg.save_dir, {
-                "state": _saveable(self.state), "epoch": 0,
-            })
+            # Target must carry opt_state + step: flax from_bytes silently
+            # drops saved keys absent from the target, which would reset
+            # Adam moments and the step-indexed LR schedule.
+            try:
+                restored = ckpt.load_latest(cfg.save_dir, {
+                    "state": _saveable(self.state, full=True), "epoch": 0,
+                })
+            except ValueError:
+                # checkpoint predates full-state saving: restore weights
+                # only, and say so (never silently reset the optimizer)
+                restored = ckpt.load_latest(cfg.save_dir, {
+                    "state": _saveable(self.state), "epoch": 0,
+                })
+                if restored is not None:
+                    logger.print_message(
+                        "WARNING: latest checkpoint has no optimizer state; "
+                        "resuming weights only (Adam moments and LR-schedule "
+                        "position reset)")
             if restored is not None:
                 self.state = _restore_state(self.state, restored["state"])
+                if self.mesh is not None:
+                    from ..parallel import shard_state
+
+                    self.state = shard_state(self.state, self.mesh)
                 start_epoch = int(restored["epoch"])
                 logger.print_message(f"Resumed from epoch {start_epoch}")
 
@@ -329,6 +348,7 @@ def _saveable(state, full: bool = False):
     out = {"params": state.params, "batch_stats": state.batch_stats}
     if full:
         out["opt_state"] = state.opt_state
+        out["step"] = state.step
     return out
 
 
@@ -336,4 +356,6 @@ def _restore_state(state, restored):
     kw = dict(params=restored["params"], batch_stats=restored["batch_stats"])
     if "opt_state" in restored:
         kw["opt_state"] = restored["opt_state"]
+    if "step" in restored:
+        kw["step"] = jnp.asarray(restored["step"], jnp.int32)
     return state.replace(**kw)
