@@ -215,6 +215,14 @@ class TestTrainerDataParallel:
         assert t.mesh is not None and t.mesh.shape == {"data": 4, "model": 2}
         res = t.fit(tr, va, va)
         assert len(res) == 6 and np.isfinite(res[0])
+        # pad-and-mask eval: every batch (incl. ragged finals) is padded to
+        # ONE fixed, mesh-shardable shape, so evaluating a loader with a
+        # ragged final batch (sizes 2,1) adds ZERO new eval executables
+        n_exec = t._eval_step._cache_size()
+        ragged = Loader(src, [5, 6, 7], 2)
+        m = t.evaluate(ragged)
+        assert np.isfinite(m["loss"]) and float(m["confusion"].sum()) == 3
+        assert t._eval_step._cache_size() == n_exec
 
 
 class TestEvaluateCLI:

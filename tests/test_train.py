@@ -200,8 +200,40 @@ class TestSteps:
         state = create_state(model, tx, [batch["MRI"][..., None]],
                              jax.random.key(0))
         ev = make_eval_step(("MRI",), adversarial=False)
-        o1 = ev(state, batch)
-        o2 = ev(state, batch)
-        np.testing.assert_array_equal(np.asarray(o1["logits"]),
-                                      np.asarray(o2["logits"]))
+        ms1, o1 = ev(state, MetricState.zero(), batch)
+        ms2, o2 = ev(state, MetricState.zero(), batch)
+        np.testing.assert_array_equal(np.asarray(o1["probs"]),
+                                      np.asarray(o2["probs"]))
         assert o1["probs"].shape == (4,)
+        assert float(ms1.total) == 4
+        np.testing.assert_array_equal(np.asarray(ms1.confusion),
+                                      np.asarray(ms2.confusion))
+
+    def test_eval_step_mask_excludes_padding(self, rng):
+        """Padded samples must not contribute to loss/accuracy/confusion:
+        metrics over [real | zero-padded] with a mask == metrics over the
+        real samples alone."""
+        from transmf_ad_tpu.models import build_model
+
+        model = build_model("single", dim=8)
+        batch = self._batch(rng, b=3)
+        tx, _ = build_optimizer("Adam", lr=1e-3, steps_per_epoch=1)
+        state = create_state(model, tx, [batch["MRI"][..., None]],
+                             jax.random.key(0))
+        ev = make_eval_step(("MRI",), adversarial=False)
+        ms_ref, o_ref = ev(state, MetricState.zero(), batch)
+
+        padded = {
+            "MRI": jnp.concatenate(
+                [batch["MRI"], jnp.zeros((1, *batch["MRI"].shape[1:]))]),
+            "label": jnp.concatenate([batch["label"],
+                                      jnp.zeros((1,), jnp.int32)]),
+            "mask": jnp.asarray([1.0, 1.0, 1.0, 0.0]),
+        }
+        ms_pad, o_pad = ev(state, MetricState.zero(), padded)
+        assert float(ms_pad.total) == float(ms_ref.total) == 3
+        assert float(ms_pad.correct) == float(ms_ref.correct)
+        assert float(ms_pad.loss_sum) == pytest.approx(
+            float(ms_ref.loss_sum), rel=1e-6)
+        np.testing.assert_allclose(np.asarray(ms_pad.confusion),
+                                   np.asarray(ms_ref.confusion))

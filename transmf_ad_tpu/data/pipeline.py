@@ -92,6 +92,44 @@ class VolumeSource:
                 self._cache[i] = item
         return item
 
+    def get_batch(self, idx: Sequence[int]) -> List[Dict]:
+        """Fetch a batch, decoding cache misses through the C++ worker pool
+        (`native_loader.decode_batch`) when all missing volumes of a key
+        share one shape; mixed shapes fall back to per-volume decode."""
+        idx = [int(i) for i in idx]
+        missing = [
+            i for i in idx
+            if self._cache is None or self._cache[i] is None
+        ]
+        decoded: Dict[int, Dict] = {}
+        if self.use_native and len(missing) > 1:
+            from . import native_loader
+
+            decoded = {i: {"label": np.int32(self.records[i]["label"])}
+                       for i in missing}
+            complete = True
+
+            for k in self.keys:
+                paths = [self.records[i][k] for i in missing]
+                dims = {native_loader.peek_dims(p) for p in paths}
+                if len(dims) != 1:
+                    complete = False
+                    break
+                vols = native_loader.decode_batch(paths, dims.pop(),
+                                                  self.normalize)
+                for j, i in enumerate(missing):
+                    v = vols[j]
+                    if self.pad_to is not None:
+                        v = spatial_pad(v, self.pad_to)
+                    decoded[i][k] = v
+            if not complete:
+                decoded = {}
+            elif self._cache is not None:
+                with self._lock:
+                    for i in missing:
+                        self._cache[i] = decoded[i]
+        return [decoded[i] if i in decoded else self[i] for i in idx]
+
 
 class Loader:
     """Iterable over stacked numpy batches with background prefetch.
@@ -155,7 +193,10 @@ class Loader:
         def worker():
             try:
                 for idx in self._batches():
-                    q.put(self._stack([self.source[int(i)] for i in idx]))
+                    items = (self.source.get_batch(idx)
+                             if hasattr(self.source, "get_batch")
+                             else [self.source[int(i)] for i in idx])
+                    q.put(self._stack(items))
                 q.put(DONE)
             except BaseException as e:  # surface decode errors in the consumer
                 q.put(e)
@@ -176,13 +217,23 @@ def device_prefetch(batches: Iterable[Dict], sharding=None, depth: int = 2):
 
     With a `NamedSharding(mesh, P('data'))` this shards the leading batch
     axis across the mesh's data axis as part of the host->HBM transfer.
+    A ragged final batch whose leading axis does not divide the sharding
+    falls back to an uncommitted transfer (replicated under jit) instead
+    of failing.
     """
     import jax
+    import jax.numpy as jnp
+
+    def place(x):
+        if sharding is not None:
+            try:
+                return jax.device_put(x, sharding)
+            except ValueError:  # leading axis not divisible by the mesh
+                pass
+        return jnp.asarray(x)
 
     def put(b):
-        if sharding is None:
-            return jax.tree_util.tree_map(jax.device_put, b)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), b)
+        return jax.tree_util.tree_map(place, b)
 
     buf: List = []
     it = iter(batches)
@@ -197,3 +248,24 @@ def device_prefetch(batches: Iterable[Dict], sharding=None, depth: int = 2):
         yield out
     while buf:
         yield buf.pop(0)
+
+
+class DeviceFeed:
+    """Loader adapter: iteration yields batches already resident on device,
+    transferred `depth` steps ahead of consumption (double-buffered H2D so
+    the copy overlaps the previous train step). Used by `Trainer.fit` as
+    the production feed; delegates `len`/`peek` to the wrapped loader."""
+
+    def __init__(self, loader, sharding=None, depth: int = 2):
+        self.loader = loader
+        self.sharding = sharding
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def peek(self):
+        return self.loader.peek()
+
+    def __iter__(self):
+        return device_prefetch(iter(self.loader), self.sharding, self.depth)

@@ -15,17 +15,22 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits, labels, weights: Optional[jnp.ndarray] = None):
-    """Mean softmax cross-entropy over integer labels (torch CE semantics).
+def cross_entropy(logits, labels, weights: Optional[jnp.ndarray] = None,
+                  reduce: bool = True):
+    """Softmax cross-entropy over integer labels (torch CE semantics).
 
     `weights`: optional per-class weights; with weights the mean is the
     torch-style weighted mean (sum(w_i * nll_i) / sum(w_i)).
+    `reduce=False` returns the per-sample NLL vector (weights applied
+    multiplicatively, no normalization) for masked/streaming accumulation.
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if weights is None:
-        return jnp.mean(nll)
+        return jnp.mean(nll) if reduce else nll
     w = jnp.asarray(weights)[labels]
+    if not reduce:
+        return w * nll
     return jnp.sum(w * nll) / jnp.sum(w)
 
 

@@ -72,6 +72,7 @@ class Engine:
         while self.state.epoch < max_epochs and not self._terminate:
             self.state.epoch += 1
             t0 = time.perf_counter()
+            self.state.epoch_t0 = t0  # for handlers that time past a sync
             self._fire(Events.EPOCH_STARTED)
             for batch in loader:
                 self.state.iteration += 1

@@ -30,20 +30,34 @@ class MetricState(struct.PyTreeNode):
 
     @classmethod
     def zero(cls):
-        z = jnp.zeros(())
+        # explicit dtype: weak-typed zeros would retrace the jitted eval
+        # step on the second batch (output arrays are strongly typed)
+        z = jnp.zeros((), jnp.float32)
         return cls(correct=z, total=z, loss_sum=z, batches=z,
-                   confusion=jnp.zeros((2, 2)))
+                   confusion=jnp.zeros((2, 2), jnp.float32))
 
-    def update(self, logits, labels, loss) -> "MetricState":
+    def update(self, logits, labels, loss, mask=None) -> "MetricState":
+        """Accumulate one batch. `mask` (B,) zeroes padded samples so a
+        ragged final batch can be padded to a fixed shape (one jit compile,
+        shardable) without biasing the metrics. `loss` may be a per-sample
+        vector (preferred; masked sum accumulates — final loss is the
+        per-sample mean, matching ignite's Loss metric) or a batch-mean
+        scalar (weighted by the valid count)."""
+        if mask is None:
+            mask = jnp.ones(labels.shape[0], jnp.float32)
+        mask = mask.astype(jnp.float32)
         pred = jnp.argmax(logits, axis=-1)
-        correct = jnp.sum(pred == labels)
-        onehot_t = jnp.eye(2)[labels]  # (B, 2)
+        correct = jnp.sum((pred == labels) * mask)
+        onehot_t = jnp.eye(2)[labels] * mask[:, None]  # (B, 2)
         onehot_p = jnp.eye(2)[pred]
         conf = jnp.einsum("bi,bj->ij", onehot_t, onehot_p)
+        loss = jnp.asarray(loss)
+        n_valid = jnp.sum(mask)
+        loss_sum = (jnp.sum(loss * mask) if loss.ndim else loss * n_valid)
         return MetricState(
             correct=self.correct + correct,
-            total=self.total + labels.shape[0],
-            loss_sum=self.loss_sum + loss,
+            total=self.total + n_valid,
+            loss_sum=self.loss_sum + loss_sum,
             batches=self.batches + 1,
             confusion=self.confusion + conf,
         )

@@ -126,10 +126,20 @@ def make_eval_step(
 ):
     """Build the jitted eval step: deterministic forward + CE loss
     (the reference's val/test loss ignores the adversarial term,
-    reference: kfold_train_adversarial.py:157-160)."""
+    reference: kfold_train_adversarial.py:157-160).
+
+    Signature: step(state, metrics, batch) -> (metrics, out). Accuracy,
+    loss and the confusion matrix accumulate device-side in `metrics`
+    (a `MetricState`); the batch may carry a `mask` (B,) so ragged final
+    batches can be padded to one fixed, shardable shape. `out` only
+    carries the tiny per-sample probs/labels/mask needed for exact
+    host-side ROC-AUC at epoch end.
+    """
+    from .metrics import MetricState  # local: avoid import cycle
+
     modalities = tuple(modalities)
 
-    def step(state: TrainState, batch) -> dict:
+    def step(state: TrainState, metrics: MetricState, batch):
         inputs = _prep_inputs(batch, modalities, None, None)
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -138,8 +148,12 @@ def make_eval_step(
         )
         logits = out[0] if adversarial else out
         labels = batch["label"]
-        loss = cross_entropy(logits, labels)
+        mask = batch.get("mask")
+        nll = cross_entropy(logits, labels, reduce=False)
         probs = jax.nn.softmax(logits, axis=-1)[:, -1]
-        return {"logits": logits, "loss": loss, "probs": probs, "label": labels}
+        metrics = metrics.update(logits, labels, nll, mask)
+        if mask is None:
+            mask = jnp.ones(labels.shape[0], jnp.float32)
+        return metrics, {"probs": probs, "label": labels, "mask": mask}
 
     return jax.jit(step)

@@ -16,6 +16,7 @@ a `latest` full-state checkpoint enables crash-resume (absent upstream).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
@@ -28,7 +29,7 @@ from ..models import ADVERSARIAL, SINGLE_MODALITY, build_model
 from ..utils.logging import Logger
 from . import checkpoint as ckpt
 from .engine import Engine, Events
-from .metrics import confusion_metrics, roc_auc
+from .metrics import MetricState, confusion_metrics, roc_auc
 from .optim import build_optimizer
 from .steps import create_state, make_eval_step, make_train_step
 
@@ -142,17 +143,34 @@ class Trainer:
             self._replicated = replicated(self.mesh)
         return self.state
 
-    def _to_device(self, batch):
+    def _data_axis_size(self) -> int:
+        return self.mesh.shape["data"] if self.mesh is not None else 1
+
+    def _pad_eval_batch(self, batch, pad_to: int):
+        """Pad the batch to a fixed leading size and attach a validity mask:
+        ONE eval compile for ragged final batches, and a shape every mesh
+        can shard (the reference recompiles nothing because torch is eager;
+        here fixed shapes are the XLA-native equivalent)."""
+        n = batch["label"].shape[0]
         out = {}
-        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
-        for k, v in batch.items():
-            if k not in ("MRI", "PET", "label"):
-                continue
-            if n_data > 1 and v.shape[0] % n_data == 0:
-                out[k] = jax.device_put(v, self._batch_sharding)
-            else:  # ragged final batch: replicate rather than fail
-                out[k] = jnp.asarray(v)
+        for k in (*self.modalities, "label"):
+            v = np.asarray(batch[k])
+            if n < pad_to:
+                pad = np.zeros((pad_to - n, *v.shape[1:]), v.dtype)
+                v = np.concatenate([v, pad])
+            out[k] = v
+        mask = np.zeros(pad_to, np.float32)
+        mask[:n] = 1.0
+        out["mask"] = mask
         return out
+
+    def _place(self, batch):
+        """Host->device placement; batch axes are pre-padded to divide the
+        mesh's data axis, so sharded placement never fails."""
+        if self._batch_sharding is not None:
+            return {k: jax.device_put(v, self._batch_sharding)
+                    for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def param_count(self) -> int:
         return sum(
@@ -162,23 +180,43 @@ class Trainer:
 
     # ----- evaluation -----
 
-    def evaluate(self, loader) -> dict:
+    def _eval_epoch(self, loader):
+        """One padded/masked pass: device-side MetricState accumulation
+        plus per-batch probs/labels (tiny fetches) for exact ROC-AUC."""
         if getattr(self, "_eval_step", None) is None:
             self._eval_step = make_eval_step(self.modalities, self.adversarial)
         eval_step = self._eval_step
-        outs = [eval_step(self.state, self._to_device(b)) for b in loader]
-        logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
-        labels = np.concatenate([np.asarray(o["label"]) for o in outs])
-        probs = np.concatenate([np.asarray(o["probs"]) for o in outs])
-        losses = np.array([float(o["loss"]) for o in outs])
-        pred = logits.argmax(-1)
-        conf = np.zeros((2, 2))
-        for t, p in zip(labels, pred):
-            conf[t, p] += 1
+        n_data = self._data_axis_size()
+        pad_to = None
+        ms = MetricState.zero()
+        if self._replicated is not None:
+            # match the sharding the step's output carries, so batch 2..N
+            # hit the same executable as batch 1
+            ms = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._replicated), ms)
+        probs, labels, masks = [], [], []
+        for b in loader:
+            if pad_to is None:
+                base = getattr(loader, "batch_size", None) or b["label"].shape[0]
+                pad_to = -(-max(base, b["label"].shape[0]) // n_data) * n_data
+            dev = self._place(self._pad_eval_batch(b, pad_to))
+            ms, out = eval_step(self.state, ms, dev)
+            probs.append(out["probs"])
+            labels.append(out["label"])
+            masks.append(out["mask"])
+        probs = np.concatenate([np.asarray(p) for p in probs])
+        labels = np.concatenate([np.asarray(l) for l in labels])
+        valid = np.concatenate([np.asarray(m) for m in masks]) > 0
+        return ms, probs[valid], labels[valid]
+
+    def evaluate(self, loader) -> dict:
+        ms, probs, labels = self._eval_epoch(loader)
+        conf = np.asarray(ms.confusion)
+        total = float(ms.total)
         m = confusion_metrics(conf)
         return {
-            "loss": float(losses.mean()),
-            "accuracy": float((pred == labels).mean()),
+            "loss": float(ms.loss_sum) / total,
+            "accuracy": float(ms.correct) / total,
             "auc": roc_auc(probs, labels),
             "confusion": conf,
             **m,
@@ -186,14 +224,8 @@ class Trainer:
 
     def predict(self, loader):
         """Inference: positive-class probabilities + labels over a loader."""
-        if not hasattr(self, "_eval_step"):
-            self._eval_step = make_eval_step(self.modalities, self.adversarial)
-        probs, labels = [], []
-        for b in loader:
-            o = self._eval_step(self.state, self._to_device(b))
-            probs.append(np.asarray(o["probs"]))
-            labels.append(np.asarray(o["label"]))
-        return np.concatenate(probs), np.concatenate(labels)
+        _, probs, labels = self._eval_epoch(loader)
+        return probs, labels
 
     # ----- training -----
 
@@ -258,8 +290,7 @@ class Trainer:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), self.state.params)
                     jax.profiler.stop_trace()
-            self.state, aux = train_step(self.state, self._to_device(batch),
-                                         base_rng)
+            self.state, aux = train_step(self.state, batch, base_rng)
             epoch_outputs.append(aux)  # device arrays; not synced here
             return aux
 
@@ -281,11 +312,15 @@ class Trainer:
             acc = float((logits.argmax(-1) == labels).mean())
             lr = float(self.lr_schedule(int(self.state.step) - 1))
             n_samples = labels.shape[0]
-            vps = n_samples / engine.state.epoch_time if engine.state.epoch_time else 0
+            # the loop only dispatches async device work; the np.asarray
+            # fetches above are the sync point, so measure the epoch here
+            epoch_time = time.perf_counter() - engine.state.epoch_t0
+            engine.state.epoch_time = epoch_time
+            vps = n_samples / epoch_time if epoch_time else 0
             logger.print_message("-------------------------------------------------")
             logger.print_message(f"Current learning rate: {lr}")
             logger.print_message(
-                f"Epoch time: {engine.state.epoch_time:.2f}s "
+                f"Epoch time: {epoch_time:.2f}s "
                 f"({vps:.2f} volumes/s)"
             )
             logger.print_message(f"Training Results - Epoch[{engine.state.epoch}] ")
@@ -318,7 +353,13 @@ class Trainer:
                     "epoch": engine.state.epoch,
                 })
 
-        trainer.run(train_loader, cfg.epochs, start_epoch=start_epoch)
+        # Production feed: H2D transfers run `depth` steps ahead of compute
+        # (double-buffered; sharded over the mesh's data axis when present).
+        from ..data.pipeline import DeviceFeed
+
+        feed = (train_loader if isinstance(train_loader, DeviceFeed)
+                else DeviceFeed(train_loader, self._batch_sharding, depth=2))
+        trainer.run(feed, cfg.epochs, start_epoch=start_epoch)
 
         res_fold = None
         if test_loader is not None:
@@ -326,6 +367,10 @@ class Trainer:
             if best is not None:
                 restored = ckpt.load(best, _saveable(self.state))
                 self.state = _restore_state(self.state, restored)
+                if self.mesh is not None:
+                    from ..parallel import shard_state
+
+                    self.state = shard_state(self.state, self.mesh)
                 logger.print_message(f"Load best model {best}")
             metrics = self.evaluate(test_loader)
             logger.print_message("*" * 62)
