@@ -269,16 +269,59 @@ class TestKFoldVariants:
         assert "Test Results" in log
 
     def test_mnet_variant_eval_path(self, adni_root, tmp_path):
-        # Mnet hard-codes (91,109,91) slice lengths (the variant default).
-        # Compiling its fwd+bwd takes ~7 min on this 1-core CPU, so the
-        # driver test exercises the eval/test path only (batch > train-set
-        # size with drop_last leaves zero train batches); Mnet's gradient
-        # structure is checked separately via eval_shape (no XLA compile).
+        # Full (91,109,91) geometry: compiling Mnet's fwd+bwd takes ~7 min
+        # on this 1-core CPU, so the driver e2e covers the eval/test path
+        # (batch > train-set size with drop_last leaves zero train
+        # batches); the TRAIN path executes for real at reduced geometry
+        # in test_mnet_train_step_runs below.
         opt = _opt(adni_root, tmp_path, model="CNN", num_folds=2,
                    batch_size=8, stage1_epochs=1, stage2_epochs=0)
         res = run_kfold(opt, variant="mnet")
         assert len(res["folds"]) == 2
         assert np.isfinite(res["folds"][0][0])
+
+    def test_mnet_train_step_runs(self, adni_root, tmp_path):
+        """Compile AND execute Mnet fwd+bwd+SGD for a full (tiny) epoch.
+
+        Geometry (25,31,25): odd dims with L % 3 == 1 so every slice
+        branch collapses its axis to exactly 1 like the reference's
+        (91,109,91); reduced spatial stack (kernel 3, pool 2) keeps the
+        1-core CPU compile in seconds."""
+        import jax
+
+        from transmf_ad_tpu.data.adni import ADNI
+        from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        data = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(data, pad_to=(25, 31, 25))
+        tr = Loader(src, list(range(6)), 3, shuffle=True, drop_last=True)
+        va = Loader(src, [6, 7], 2)
+        cfg = TrainerConfig(
+            model="mnet", epochs=2, aug=True, optimizer="SGD", lr=1e-3,
+            momentum=0.9, milestones=(6, 21),  # the Mnet driver recipe
+            save_dir=str(tmp_path / "mnet_train"), use_pallas=False,
+            dtype="float32",
+            model_kwargs={"spatial_kernel": 3, "spatial_pool": 2},
+        )
+        t = Trainer(cfg)
+        sample = tr.peek()
+        t.init_state(sample, steps_per_epoch=len(tr))
+        before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                        t.state.params)
+        res = t.fit(tr, va, va)
+        assert len(res) == 6 and np.isfinite(res[0])
+        assert int(t.state.step) == 4  # 2 epochs x 2 full batches
+        # SGD actually moved the slice/spatial conv weights
+        moved = [
+            not np.allclose(np.asarray(a), b, atol=1e-12)
+            for a, b in zip(jax.tree_util.tree_leaves(t.state.params),
+                            jax.tree_util.tree_leaves(before))
+        ]
+        assert any(moved)
+        log = open(os.path.join(str(tmp_path / "mnet_train"),
+                                "log.txt")).read()
+        assert "Training Results - Epoch[2]" in log
 
     def test_mnet_grad_structure(self, rng):
         import jax

@@ -198,6 +198,227 @@ class TestModelSingleParity:
                                    atol=2e-4, rtol=1e-3)
 
 
+def _load_deep_transformer(torch_tr, p, depth):
+    """Map our Transformer params (depth layers) into the reference's
+    networks.Transformer (reference: models/networks.py:215-230)."""
+    import torch
+
+    for i in range(depth):
+        pn_attn, pn_ff = torch_tr.layers[i][0], torch_tr.layers[i][1]
+        a = p[f"Attention_{i}"]
+        _to_torch_linear(pn_attn.fn.to_q, a["to_q"]["kernel"])
+        _to_torch_linear(pn_attn.fn.to_kv, a["to_kv"]["kernel"])
+        _to_torch_linear(pn_attn.fn.to_out[0], a["to_out"]["kernel"],
+                         a["to_out"]["bias"])
+        for ln, key in ((pn_attn.norm, f"LayerNorm_{2 * i}"),
+                        (pn_ff.norm, f"LayerNorm_{2 * i + 1}")):
+            ln.weight.data = torch.from_numpy(np.asarray(p[key]["scale"]).copy())
+            ln.bias.data = torch.from_numpy(np.asarray(p[key]["bias"]).copy())
+        ff = p[f"FeedForward_{i}"]
+        _to_torch_linear(pn_ff.fn.net[0], ff["Dense_0"]["kernel"],
+                         ff["Dense_0"]["bias"])
+        _to_torch_linear(pn_ff.fn.net[3], ff["Dense_1"]["kernel"],
+                         ff["Dense_1"]["bias"])
+    fin = p[f"LayerNorm_{2 * depth}"]
+    torch_tr.norm.weight.data = torch.from_numpy(
+        np.asarray(fin["scale"]).copy())
+    torch_tr.norm.bias.data = torch.from_numpy(np.asarray(fin["bias"]).copy())
+
+
+class TestADVITParity:
+    """Numerical anchor for C11. vit_pytorch is unavailable (and the
+    reference forward is internally inconsistent with it — see
+    transmf_ad_tpu/models/advit.py:8-19), so the oracle is hand-built in
+    torch: the reference's to-2d stacks verbatim (models/ADVIT.py:10-29)
+    plus the documented ViT interpretation (vit_pytorch patch-embed
+    LN->Linear->LN, cls token, learned pos embedding, CLS latent) expressed
+    with the reference's OWN networks.Transformer, and Linear(384,2)."""
+
+    def test_eval_logits_match_handbuilt_reference(self, rng):
+        import torch
+        import torch.nn as tnn
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+
+        sys.path.insert(0, REFERENCE)
+        from models.networks import Transformer as TorchTransformer
+
+        H = W = 32  # plane reduced from 128 (2x2 grid of 16-patches); D real
+        D = 79
+        DIM, DEPTH_V, HEADS_V, MLP = 192, 6, 3, 768
+
+        ours = build_model("advit", use_pallas=False, precision="highest")
+        mri = rng.standard_normal((2, H, W, D)).astype(np.float32)
+        pet = rng.standard_normal((2, H, W, D)).astype(np.float32)
+        variables = ours.init(jax.random.key(4),
+                              jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        def torch_to2d():
+            # reference to_2d stack (models/ADVIT.py:10-29)
+            return tnn.Sequential(
+                tnn.Conv3d(1, 32, (1, 1, 25)), tnn.BatchNorm3d(32), tnn.ReLU(),
+                tnn.MaxPool3d((1, 1, 2), (1, 1, 2)),
+                tnn.Conv3d(32, 1, (1, 1, 25)), tnn.BatchNorm3d(1), tnn.ReLU(),
+                tnn.MaxPool3d((1, 1, 2), (1, 1, 2)),
+            )
+
+        class TorchViT(tnn.Module):
+            def __init__(self, patch=16):
+                super().__init__()
+                self.patch = patch
+                n_patches = (H // patch) * (W // patch)
+                self.norm_in = tnn.LayerNorm(patch * patch)
+                self.proj = tnn.Linear(patch * patch, DIM)
+                self.norm_out = tnn.LayerNorm(DIM)
+                self.cls = tnn.Parameter(torch.zeros(1, 1, DIM))
+                self.pos = tnn.Parameter(torch.zeros(1, n_patches + 1, DIM))
+                self.tr = TorchTransformer(DIM, DEPTH_V, HEADS_V,
+                                           DIM // HEADS_V, MLP, 0.0)
+
+            def forward(self, img):  # (B, 1, H, W)
+                b, c, h, w = img.shape
+                p = self.patch
+                x = img.reshape(b, c, h // p, p, w // p, p)
+                x = x.permute(0, 2, 4, 3, 5, 1).reshape(
+                    b, (h // p) * (w // p), p * p * c)
+                x = self.norm_out(self.proj(self.norm_in(x)))
+                x = torch.cat([self.cls.expand(b, -1, -1), x], 1) + self.pos
+                return self.tr(x)[:, 0]
+
+        def load_to2d(seq, p, s):
+            for i, (ci, bi) in enumerate(((0, 1), (4, 5))):
+                blk = f"ConvBNAct_{i}"
+                _to_torch_conv(seq[ci], p[blk]["kernel"], p[blk]["bias"])
+                _to_torch_bn(seq[bi], p[blk]["BatchNorm_0"],
+                             s[blk]["BatchNorm_0"])
+
+        def load_vit(tv, p):
+            for ln, key in ((tv.norm_in, "LayerNorm_0"),
+                            (tv.norm_out, "LayerNorm_1")):
+                ln.weight.data = torch.from_numpy(
+                    np.asarray(p[key]["scale"]).copy())
+                ln.bias.data = torch.from_numpy(
+                    np.asarray(p[key]["bias"]).copy())
+            _to_torch_linear(tv.proj, p["Dense_0"]["kernel"],
+                             p["Dense_0"]["bias"])
+            tv.cls.data = torch.from_numpy(np.asarray(p["cls_token"]).copy())
+            tv.pos.data = torch.from_numpy(
+                np.asarray(p["pos_embedding"]).copy())
+            _load_deep_transformer(tv.tr, p["Transformer_0"], DEPTH_V)
+
+        to2d_mri, to2d_pet = torch_to2d(), torch_to2d()
+        vit_mri, vit_pet = TorchViT(), TorchViT()
+        fc = tnn.Linear(2 * DIM, 2)
+        for m in (to2d_mri, to2d_pet, vit_mri, vit_pet, fc):
+            m.eval()
+        with torch.no_grad():
+            load_to2d(to2d_mri, params["to_2d_mri"], stats["to_2d_mri"])
+            load_to2d(to2d_pet, params["to_2d_pet"], stats["to_2d_pet"])
+            load_vit(vit_mri, params["vit_mri"])
+            load_vit(vit_pet, params["vit_pet"])
+            _to_torch_linear(fc, params["fc"]["kernel"], params["fc"]["bias"])
+
+            def run(to2d, vit, img):
+                out = to2d(torch.from_numpy(img).unsqueeze(1))  # (B,1,H,W,1)
+                out = out.reshape(out.shape[0], 1, H, W)  # 'b c h w d->b c h (w d)'
+                return vit(out)
+
+            lat = torch.cat([run(to2d_mri, vit_mri, mri),
+                             run(to2d_pet, vit_pet, pet)], dim=-1)
+            t_logits = fc(lat)
+
+        j_logits = ours.apply(variables, jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]), train=False)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+class TestMnetParity:
+    def test_eval_logits_match_reference(self, rng):
+        """Mnet at the FULL reference geometry (91,109,91): map every
+        slice/spatial conv + BN and the fc head into the torch reference
+        (reference: models/MiSePyNet.py:97-163) and compare eval logits.
+        The torch spatial_cnn applies conv1 to all three slice branches
+        (conv2/conv3 are dead) — our shared _StridedStack matches that."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+
+        sys.path.insert(0, REFERENCE)
+        from models.MiSePyNet import Mnet as TorchMnet
+
+        ours = build_model("mnet", use_pallas=False, precision="highest")
+        mri = rng.standard_normal((1, 91, 109, 91)).astype(np.float32)
+        pet = rng.standard_normal((1, 91, 109, 91)).astype(np.float32)
+        variables = ours.init(jax.random.key(3),
+                              jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        theirs = TorchMnet()
+        theirs.eval()
+
+        def load_slice(seq_parent, p, s):
+            # our ConvBNAct_0..5 <-> torch conv1[0,1]; conv2[0,1],[3,4];
+            # conv3[0,1],[3,4],[6,7]
+            slots = [
+                (seq_parent.conv1, 0, 1),
+                (seq_parent.conv2, 0, 1), (seq_parent.conv2, 3, 4),
+                (seq_parent.conv3, 0, 1), (seq_parent.conv3, 3, 4),
+                (seq_parent.conv3, 6, 7),
+            ]
+            for i, (seq, ci, bi) in enumerate(slots):
+                blk = f"ConvBNAct_{i}"
+                _to_torch_conv(seq[ci], p[blk]["kernel"], p[blk]["bias"])
+                _to_torch_bn(seq[bi], p[blk]["BatchNorm_0"],
+                             s[blk]["BatchNorm_0"])
+
+        def load_spatial(seq_parent, p, s):
+            # shared _StridedStack_0: ConvBNAct_0..2 <-> torch conv1
+            # indices (0,1), (4,5), (8,9)
+            st_p, st_s = p["_StridedStack_0"], s["_StridedStack_0"]
+            for i, (ci, bi) in enumerate(((0, 1), (4, 5), (8, 9))):
+                blk = f"ConvBNAct_{i}"
+                _to_torch_conv(seq_parent.conv1[ci], st_p[blk]["kernel"],
+                               st_p[blk]["bias"])
+                _to_torch_bn(seq_parent.conv1[bi], st_p[blk]["BatchNorm_0"],
+                             st_s[blk]["BatchNorm_0"])
+
+        with torch.no_grad():
+            for mod, t_net in (("mri", theirs.mri), ("pet", theirs.pet)):
+                for view in ("axial", "col", "sag"):
+                    load_slice(getattr(t_net, f"slice_cnn_{view}"),
+                               params[mod][f"slice_{view}"],
+                               stats[mod][f"slice_{view}"])
+                    load_spatial(getattr(t_net, f"spatial_cnn_{view}"),
+                                 params[mod][f"spatial_{view}"],
+                                 stats[mod][f"spatial_{view}"])
+            fc, fcs = params, stats
+            _to_torch_linear(theirs.fc[0], fc["Dense_0"]["kernel"],
+                             fc["Dense_0"]["bias"])
+            _to_torch_bn(theirs.fc[1], fc["BatchNorm_0"], fcs["BatchNorm_0"])
+            _to_torch_linear(theirs.fc[4], fc["Dense_1"]["kernel"],
+                             fc["Dense_1"]["bias"])
+            _to_torch_bn(theirs.fc[5], fc["BatchNorm_1"], fcs["BatchNorm_1"])
+            _to_torch_linear(theirs.fc[8], fc["Dense_2"]["kernel"],
+                             fc["Dense_2"]["bias"])
+            t_logits = theirs(torch.from_numpy(mri).unsqueeze(1),
+                              torch.from_numpy(pet).unsqueeze(1))
+
+        j_logits = ours.apply(variables, jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]), train=False)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
 class TestModelCNNAdParity:
     def test_eval_logits_match_reference(self, rng):
         import torch

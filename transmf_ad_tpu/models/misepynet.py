@@ -57,18 +57,26 @@ class SliceCNN(nn.Module):
 class SpatialCNN(nn.Module):
     """The driven spatial stack (reference conv1): Conv(11,11,1)/s(2,2,2) ->
     MaxPool(3,3,1) -> Conv(11,11,1) -> MaxPool(3,3,1) -> Conv(1,1,1);
-    applied to each slice branch and summed."""
+    applied to each slice branch (shared weights, like the reference's
+    conv1 reuse) and summed. `kernel`/`pool` default to the reference
+    geometry, sized for (91,109)-plane inputs; smaller planes can pass
+    reduced values (tests use kernel=3, pool=2)."""
 
+    kernel: int = 11
+    pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
 
     @nn.compact
     def __call__(self, s1, s2, s3, train: bool = False):
-        stack = _StridedStack(dtype=self.dtype, precision=self.precision)
+        stack = _StridedStack(kernel=self.kernel, pool=self.pool,
+                              dtype=self.dtype, precision=self.precision)
         return stack(s1, train) + stack(s2, train) + stack(s3, train)
 
 
 class _StridedStack(nn.Module):
+    kernel: int = 11
+    pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
 
@@ -76,35 +84,45 @@ class _StridedStack(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
                   precision=self.precision)
-        x = ConvBNAct(16, kernel=(11, 11, 1), strides=(2, 2, 2), **kw)(x, train)
-        x = nn.max_pool(x, (3, 3, 1), strides=(3, 3, 1), padding="VALID")
-        x = ConvBNAct(32, kernel=(11, 11, 1), **kw)(x, train)
-        x = nn.max_pool(x, (3, 3, 1), strides=(3, 3, 1), padding="VALID")
+        k, p = self.kernel, self.pool
+        x = ConvBNAct(16, kernel=(k, k, 1), strides=(2, 2, 2), **kw)(x, train)
+        x = nn.max_pool(x, (p, p, 1), strides=(p, p, 1), padding="VALID")
+        x = ConvBNAct(32, kernel=(k, k, 1), **kw)(x, train)
+        x = nn.max_pool(x, (p, p, 1), strides=(p, p, 1), padding="VALID")
         x = ConvBNAct(64, kernel=(1, 1, 1), **kw)(x, train)
         return x
 
 
 class MiSePyNet(nn.Module):
-    """Three-view slice+spatial encoder -> flattened 320-dim feature."""
+    """Three-view slice+spatial encoder -> flattened per-modality feature
+    (320-dim at the reference geometry). Slice-collapse lengths derive
+    from the input shape, so reduced geometries compile directly."""
 
+    spatial_kernel: int = 11
+    spatial_pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
 
     @nn.compact
     def __call__(self, img, train: bool = False):
-        # img: (B, 91, 109, 91, 1) channels-last
+        # img: (B, X, Y, Z, 1) channels-last; reference geometry (91,109,91)
         kw = dict(dtype=self.dtype, precision=self.precision)
         views = {
-            "axial": (img, 91),
+            "axial": img,
             # torch permute(0,1,2,4,3): swap last two spatial dims
-            "col": (img.transpose(0, 1, 3, 2, 4), 109),
+            "col": img.transpose(0, 1, 3, 2, 4),
             # torch permute(0,1,4,3,2): reverse spatial order
-            "sag": (img.transpose(0, 3, 2, 1, 4), 91),
+            "sag": img.transpose(0, 3, 2, 1, 4),
         }
         feats = []
-        for name, (view, length) in views.items():
+        for name, view in views.items():
+            length = view.shape[3]  # the collapsed (last spatial) axis
             s1, s2, s3 = SliceCNN(length, name=f"slice_{name}", **kw)(view, train)
-            out = SpatialCNN(name=f"spatial_{name}", **kw)(s1, s2, s3, train)
+            out = SpatialCNN(kernel=self.spatial_kernel, pool=self.spatial_pool,
+                             name=f"spatial_{name}", **kw)(s1, s2, s3, train)
+            # flatten channel-major like torch .view on NCDHW, so the fc
+            # weights map 1:1 to the reference's (MiSePyNet.py:131-133)
+            out = out.transpose(0, 4, 1, 2, 3)
             feats.append(out.reshape(out.shape[0], -1))
         return jnp.concatenate(feats, axis=-1)
 
@@ -112,12 +130,16 @@ class MiSePyNet(nn.Module):
 class Mnet(nn.Module):
     """Dual-modality MiSePyNet + MLP classifier (reference: MiSePyNet.py:139-163)."""
 
+    spatial_kernel: int = 11
+    spatial_pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
-        kw = dict(dtype=self.dtype, precision=self.precision)
+        kw = dict(spatial_kernel=self.spatial_kernel,
+                  spatial_pool=self.spatial_pool,
+                  dtype=self.dtype, precision=self.precision)
         mri_feat = MiSePyNet(name="mri", **kw)(mri, train)
         pet_feat = MiSePyNet(name="pet", **kw)(pet, train)
         x = jnp.concatenate([mri_feat, pet_feat], axis=-1)

@@ -52,6 +52,7 @@ class TrainerConfig:
     seed: int = 42
     save_dir: str = "./checkpoints/run"
     use_pallas: Optional[bool] = None
+    model_kwargs: Optional[dict] = None  # extra arch params for build_model
     dtype: Any = "auto"  # 'auto': bfloat16 on TPU, float32 elsewhere
     resume: bool = False
     save_latest_every: int = 0  # epochs between resume checkpoints; 0 = off
@@ -98,7 +99,7 @@ class Trainer:
         self.model = build_model(
             cfg.model, dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
             dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=dtype,
-            remat=cfg.remat,
+            remat=cfg.remat, **(cfg.model_kwargs or {}),
         )
         self.adversarial = cfg.model in ADVERSARIAL
         self.modalities: Tuple[str, ...] = (
