@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Microbenchmark: 3x3x3 conv lowering strategies on TPU, per sNet stage.
+
+Compares, at each sNet body-conv shape (batch 8, bf16):
+  xla3d    - lax.conv_general_dilated NDHWC 3x3x3 (current default)
+  pallas   - ops/conv3d.py banded slab kernel
+  dx3      - three 2D 3x3 convs over (Y,Z) with X folded into batch,
+             then a shifted-add over x (one fused elementwise pass)
+  dxpack   - ONE 2D conv with the x-taps stacked on Cout (W' = (3,3,Ci,3Co)),
+             then shifted channel-block add (3x FLOPs, better N fill)
+
+Prints GF, ms and TF/s for each. Sync via value fetch (CLAUDE.md: never
+block_until_ready through the axon tunnel).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 8
+STAGES = [
+    ("s2a 32->32 @45x54x45", (45, 54, 45), 32, 32),
+    ("s2b 32->64 @45x54x45", (45, 54, 45), 32, 64),
+    ("s3a 64->64 @22x27x22", (22, 27, 22), 64, 64),
+    ("s3b 64->128 @22x27x22", (22, 27, 22), 64, 128),
+    ("s4a 128->256 @11x13x11", (11, 13, 11), 128, 256),
+]
+
+
+def xla3d(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def dx3(x, w):
+    b, X, Y, Z, ci = x.shape
+    xf = x.reshape(b * X, Y, Z, ci)
+    us = [jax.lax.conv_general_dilated(
+        xf, w[dx], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).reshape(b, X, Y, Z, -1)
+        for dx in range(3)]
+    # y[i] = u0[i-1] + u1[i] + u2[i+1]  (zero-padded x-shifts)
+    zrow = jnp.zeros_like(us[0][:, :1])
+    y = (jnp.concatenate([zrow, us[0][:, :-1]], 1)
+         + us[1]
+         + jnp.concatenate([us[2][:, 1:], zrow], 1))
+    return y
+
+
+def dxpack(x, w):
+    b, X, Y, Z, ci = x.shape
+    co = w.shape[-1]
+    wp = jnp.concatenate([w[0], w[1], w[2]], axis=-1)  # (3,3,Ci,3Co)
+    xf = x.reshape(b * X, Y, Z, ci)
+    u = jax.lax.conv_general_dilated(
+        xf, wp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).reshape(b, X, Y, Z, 3 * co)
+    zrow = jnp.zeros_like(u[:, :1, :, :, :co])
+    y = (jnp.concatenate([zrow, u[:, :-1, :, :, :co]], 1)
+         + u[:, :, :, :, co:2 * co]
+         + jnp.concatenate([u[:, 1:, :, :, 2 * co:], zrow], 1))
+    return y
+
+
+def run(fn, x, w, iters=20):
+    f = jax.jit(fn)
+    y = f(x, w)
+    float(y.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(x, w)
+    float(y.ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from transmf_ad_tpu.ops.conv3d import _conv_pallas
+
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() != "cpu"
+    for name, (X, Y, Z), ci, co in STAGES:
+        x = jnp.asarray(rng.standard_normal((B, X, Y, Z, ci)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)) * 0.05,
+                        jnp.bfloat16)
+        gf = 2 * 27 * ci * co * B * X * Y * Z / 1e9
+        # correctness cross-check vs xla3d at these dtypes
+        ref = np.asarray(xla3d(x, w), np.float32)
+        rows = []
+        for label, fn in [("xla3d", xla3d), ("dx3", dx3), ("dxpack", dxpack)]:
+            got = np.asarray(jax.jit(fn)(x, w), np.float32)
+            err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+            dt = run(fn, x, w)
+            rows.append((label, dt, err))
+        if on_tpu:
+            got = np.asarray(_conv_pallas(x, w), np.float32)
+            err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+            dt = run(lambda a, b: _conv_pallas(a, b), x, w)
+            rows.append(("pallas", dt, err))
+        print(f"\n{name}  ({gf:.1f} GF)")
+        for label, dt, err in rows:
+            print(f"  {label:7s} {dt*1e3:7.2f} ms  {gf/dt/1e3:6.1f} TF/s"
+                  f"  relerr={err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -421,3 +421,89 @@ class TestFusedTokenPool:
         g2 = jax.grad(lr, argnums=(0, 1))(mri, pet)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestPool3D:
+    """Pallas 2x2x2 pool kernels (ops/pool3d.py): interpret-mode parity
+    with XLA reduce-window (torch MaxPool3d/AvgPool3d(2,2) semantics) and
+    gradient parity on tie-free data."""
+
+    SHAPES = [(2, 9, 11, 9, 4), (1, 8, 8, 8, 3), (2, 5, 7, 9, 2),
+              (1, 13, 11, 13, 8)]
+
+    def test_max_forward_parity(self, rng):
+        from flax import linen as fnn
+
+        from transmf_ad_tpu.ops.pool3d import max_pool3d_2x2
+
+        for shape in self.SHAPES:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            ref = fnn.max_pool(x, (2, 2, 2), strides=(2, 2, 2),
+                               padding="VALID")
+            out = max_pool3d_2x2(x, None, True)  # interpret-mode pallas
+            assert out.shape == ref.shape
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_max_grad_parity(self, rng):
+        from flax import linen as fnn
+
+        from transmf_ad_tpu.ops.pool3d import max_pool3d_2x2
+
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, 9, 4)), jnp.float32)
+
+        def lp(v):
+            return jnp.sum(jnp.sin(max_pool3d_2x2(v, None, True) * 3))
+
+        def lr(v):
+            return jnp.sum(jnp.sin(fnn.max_pool(
+                v, (2, 2, 2), strides=(2, 2, 2), padding="VALID") * 3))
+
+        np.testing.assert_allclose(np.asarray(jax.grad(lp)(x)),
+                                   np.asarray(jax.grad(lr)(x)), atol=1e-6)
+
+    def test_max_grad_tie_splitting(self):
+        # constant input: every window is an 8-way tie; the kernel splits
+        # the gradient equally (sum preserved), never NaN/double-counted
+        from transmf_ad_tpu.ops.pool3d import max_pool3d_2x2
+
+        x = jnp.ones((1, 4, 4, 4, 1), jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(max_pool3d_2x2(v, None, True)))(x)
+        assert float(jnp.sum(g)) == pytest.approx(8.0)
+        assert float(jnp.max(g)) == pytest.approx(0.125)
+
+    def test_avg_forward_and_grad_parity(self, rng):
+        from flax import linen as fnn
+
+        from transmf_ad_tpu.ops.pool3d import avg_pool3d_2x2
+
+        x = jnp.asarray(rng.standard_normal((2, 9, 11, 9, 4)), jnp.float32)
+        ref = fnn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="VALID")
+        out = avg_pool3d_2x2(x, None, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+
+        def lp(v):
+            return jnp.sum(jnp.sin(avg_pool3d_2x2(v, None, True) * 3))
+
+        def lr(v):
+            return jnp.sum(jnp.sin(fnn.avg_pool(
+                v, (2, 2, 2), strides=(2, 2, 2), padding="VALID") * 3))
+
+        np.testing.assert_allclose(np.asarray(jax.grad(lp)(x)),
+                                   np.asarray(jax.grad(lr)(x)), atol=1e-6)
+
+    def test_cpu_fallback_is_reduce_window(self, rng):
+        # off-TPU (the test mesh) the op must route to XLA reduce-window
+        from flax import linen as fnn
+
+        from transmf_ad_tpu.ops.pool3d import avg_pool3d_2x2, max_pool3d_2x2
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 6, 2)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(max_pool3d_2x2(x)),
+            np.asarray(fnn.max_pool(x, (2, 2, 2), strides=(2, 2, 2),
+                                    padding="VALID")))
+        np.testing.assert_allclose(
+            np.asarray(avg_pool3d_2x2(x)),
+            np.asarray(fnn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2),
+                                    padding="VALID")), atol=1e-6)

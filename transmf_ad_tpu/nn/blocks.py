@@ -102,14 +102,26 @@ class ConvBNAct(nn.Module):
         return y
 
 
-def max_pool3d(x, window: int = 2, stride: int = 2):
-    """torch MaxPool3d(window, stride) with floor (VALID) semantics."""
+def max_pool3d(x, window: int = 2, stride: int = 2, fast: bool = True):
+    """torch MaxPool3d(window, stride) with floor (VALID) semantics.
+
+    The 2x2x2 case (the only one sNet uses) routes to the slice-based op in
+    ops/pool3d.py: XLA's reduce-window/select-and-scatter lowering costs
+    ~40% of the whole train step on TPU (see that module's docstring)."""
+    if fast and window == 2 and stride == 2:
+        from ..ops.pool3d import max_pool3d_2x2
+
+        return max_pool3d_2x2(x)
     dims = (window,) * 3
     strides = (stride,) * 3
     return nn.max_pool(x, dims, strides=strides, padding="VALID")
 
 
-def avg_pool3d(x, window: int = 2, stride: int = 2):
+def avg_pool3d(x, window: int = 2, stride: int = 2, fast: bool = True):
+    if fast and window == 2 and stride == 2:
+        from ..ops.pool3d import avg_pool3d_2x2
+
+        return avg_pool3d_2x2(x)
     dims = (window,) * 3
     strides = (stride,) * 3
     return nn.avg_pool(x, dims, strides=strides, padding="VALID")

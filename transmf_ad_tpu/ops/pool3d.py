@@ -1,0 +1,301 @@
+"""Pallas 2x2x2 stride-2 VALID max/avg pooling for NDHWC volumes on TPU.
+
+XLA lowers `nn.max_pool` to `reduce-window` and its gradient to
+`select-and-scatter`; on the sNet stage-1 tensor (8x91x109x91x32 bf16) those
+run at <10% of HBM bandwidth AND force a tile layout ({2,4,3,1,0}) that
+disagrees with the surrounding convolutions, adding four full-tensor layout
+copies per modality. Measured cost: ~40% of the whole model_ad train step
+(see docs/PERFORMANCE.md). Plain-XLA rewrites fail too: strided slices do
+not fuse on TPU (measured 5.5 ms per materialized slice).
+
+This kernel views each (batch, x-pair) slab as a 2D (Y, Z*C) block and
+reduces each window axis with ops Mosaic lowers well:
+
+  x-pairs:  the two rows of the block        (elementwise max/add)
+  z-pairs:  lane-chunk slices + concat       (C-aligned lane moves)
+  y-pairs:  0/1 selection matrices on MXU    ((Yp, Y) @ (Y, Zp*C) dots)
+
+The gradient never calls select-and-scatter: it recomputes the window
+equality masks and splits the incoming gradient EQUALLY among tied maxima
+(torch/XLA route it to the first maximum; both are valid subgradients and
+ties have measure zero for float activations). Forward parity with torch
+MaxPool3d(2,2) is exact.
+
+reference: pooling layers of sNet (reference: models/networks.py:26,33,41,49).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sel_matrices(Y: int, dtype):
+    """Se/So (Yp, Y): select even/odd rows; Re (Y, Yp): broadcast row y//2."""
+    Yp = Y // 2
+    se = np.zeros((Yp, Y), np.float32)
+    so = np.zeros((Yp, Y), np.float32)
+    se[np.arange(Yp), 2 * np.arange(Yp)] = 1
+    so[np.arange(Yp), 2 * np.arange(Yp) + 1] = 1
+    re = np.zeros((Y, Yp), np.float32)
+    re[np.arange(2 * Yp), np.arange(2 * Yp) // 2] = 1  # odd tail row -> 0
+    return (jnp.asarray(se, dtype), jnp.asarray(so, dtype),
+            jnp.asarray(re, dtype))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _zpair(m, Zp: int, C: int, op):
+    """(Y, Z*C) -> (Y, Zp*C): combine z-chunk pairs, lane-aligned slices."""
+    parts = [op(m[:, (2 * k) * C: (2 * k + 1) * C],
+                m[:, (2 * k + 1) * C: (2 * k + 2) * C]) for k in range(Zp)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _pool_fwd_kernel(x_ref, se_ref, so_ref, o_ref, *, Y, Zp, C, Xp, mode):
+    i = pl.program_id(1)
+
+    @pl.when(i < Xp)
+    def _():
+        comb = jnp.maximum if mode == "max" else jnp.add
+        m = comb(x_ref[0, 0], x_ref[0, 1])          # (Y, Z*C) x-pair
+        mz = _zpair(m, Zp, C, comb)                  # (Y, Zp*C) z-pairs
+        e = _dot(se_ref[...], mz)                    # (Yp, Zp*C) y-even
+        o = _dot(so_ref[...], mz)                    # y-odd
+        r = jnp.maximum(e, o) if mode == "max" else (e + o) * 0.125
+        o_ref[0, 0] = r.astype(o_ref.dtype)
+
+    @pl.when(i >= Xp)
+    def _():  # nothing: grid sized to Xp for forward
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+
+
+def _pool_bwd_kernel(x_ref, p_ref, g_ref, re_ref, se_ref, so_ref, o_ref,
+                     *, Y, Z, Zp, C, Xp):
+    i = pl.program_id(1)
+
+    @pl.when(i < Xp)
+    def _():
+        # equality masks in f32: Mosaic rejects cmpf on packed-bf16 vectors
+        rep_p = _dot(re_ref[...], p_ref[0, 0])       # (Y, ZpC) f32
+        g = g_ref[0, 0]
+
+        eqs = []
+        for r in (0, 1):
+            t = x_ref[0, r]                          # (Y, Z*C)
+            te = jnp.concatenate(
+                [t[:, (2 * k) * C: (2 * k + 1) * C] for k in range(Zp)], 1)
+            to = jnp.concatenate(
+                [t[:, (2 * k + 1) * C: (2 * k + 2) * C] for k in range(Zp)], 1)
+            eqs.append((te.astype(jnp.float32) == rep_p,
+                        to.astype(jnp.float32) == rep_p))  # (Y, ZpC) masks
+        # tie counts are small integers: exact in the compute dtype
+        msum = functools.reduce(
+            jnp.add, [m.astype(x_ref.dtype) for pair in eqs for m in pair])
+        cnt = _dot(se_ref[...], msum) + _dot(so_ref[...], msum)  # (Yp, ZpC)
+        gi = g.astype(jnp.float32) / cnt
+        rep_g = _dot(re_ref[...], gi.astype(x_ref.dtype)).astype(jnp.float32)
+
+        zfill = jnp.zeros((Y, (Z - 2 * Zp) * C), x_ref.dtype)  # odd-z tail
+        for r in (0, 1):
+            de = (eqs[r][0] * rep_g).astype(x_ref.dtype)       # (Y, Zp*C)
+            do = (eqs[r][1] * rep_g).astype(x_ref.dtype)
+            cols = []
+            for k in range(Zp):
+                cols.append(de[:, k * C: (k + 1) * C])
+                cols.append(do[:, k * C: (k + 1) * C])
+            full = jnp.concatenate(cols + [zfill], axis=1)     # (Y, Z*C)
+            o_ref[0, r] = full
+
+    @pl.when(i >= Xp)
+    def _():  # odd trailing x row: zero gradient
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        o_ref[0, 1] = jnp.zeros_like(o_ref[0, 1])
+
+
+def _fwd_pallas(x, mode, interpret):
+    b, X, Y, Z, C = x.shape
+    Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    x2 = x.reshape(b, X, Y, Z * C)
+    se, so, re = _sel_matrices(Y, x.dtype)
+    if mode == "avg":  # selection rows scaled later by 0.125 in-kernel
+        pass
+    out = pl.pallas_call(
+        functools.partial(_pool_fwd_kernel, Y=Y, Zp=Zp, C=C, Xp=Xp,
+                          mode=mode),
+        out_shape=jax.ShapeDtypeStruct((b, Xp, Yp, Zp * C), x.dtype),
+        grid=(b, Xp),
+        in_specs=[
+            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Yp, Zp * C),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, se, so)
+    return out.reshape(b, Xp, Yp, Zp, C)
+
+
+def _bwd_pallas(x, p, g, interpret):
+    b, X, Y, Z, C = x.shape
+    Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    x2 = x.reshape(b, X, Y, Z * C)
+    p2 = p.reshape(b, Xp, Yp, Zp * C).astype(x.dtype)
+    g2 = g.reshape(b, Xp, Yp, Zp * C).astype(x.dtype)
+    se, so, re = _sel_matrices(Y, x.dtype)
+    gx = X - 2 * Xp  # 1 extra grid step to zero the odd trailing x row
+    dx = pl.pallas_call(
+        functools.partial(_pool_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp),
+        out_shape=jax.ShapeDtypeStruct((b, X, Y, Z * C), x.dtype),
+        grid=(b, Xp + gx),
+        in_specs=[
+            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Yp, Zp * C),
+                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Yp, Zp * C),
+                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, p2, g2, re, se, so)
+    return dx.reshape(b, X, Y, Z, C)
+
+
+def _fits(x) -> bool:
+    b, X, Y, Z, C = x.shape
+    if X < 2 or Y < 2 or Z < 2:
+        return False
+    lanes = max(Z * C, 128)
+    # fwd block + bwd block (2 rows in, 2 rows out, masks) with headroom
+    need = 8 * Y * lanes * x.dtype.itemsize * 2
+    return need <= 12 * 1024 * 1024
+
+
+def _use_pallas(x, use_pallas):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return use_pallas and _fits(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def max_pool3d_2x2(x, use_pallas=None, interpret=False):
+    """(B, X, Y, Z, C) -> (B, X//2, Y//2, Z//2, C), torch MaxPool3d(2,2).
+
+    Pallas kernel on TPU (or interpret=True); XLA reduce-window otherwise.
+    """
+    if not _use_pallas(x, use_pallas) and not interpret:
+        return jax.lax.reduce_window(
+            x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min,
+            jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
+    return _fwd_pallas(x, "max", interpret)
+
+
+def _mp_fwd(x, use_pallas, interpret):
+    p = max_pool3d_2x2(x, use_pallas, interpret)
+    return p, (x, p)
+
+
+def _mp_bwd(use_pallas, interpret, res, g):
+    x, p = res
+    if not _use_pallas(x, use_pallas) and not interpret:
+        # mirror XLA's own vjp: select-and-scatter
+        _, vjp = jax.vjp(
+            lambda v: jax.lax.reduce_window(
+                v, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1),
+                (1, 2, 2, 2, 1), "VALID"), x)
+        return (vjp(g)[0],)
+    return (_bwd_pallas(x, p, g, interpret),)
+
+
+max_pool3d_2x2.defvjp(_mp_fwd, _mp_bwd)
+
+
+def _avg_bwd_kernel(g_ref, re_ref, o_ref, *, Y, Z, Zp, C, Xp):
+    i = pl.program_id(1)
+
+    @pl.when(i < Xp)
+    def _():
+        rep = _dot(re_ref[...], g_ref[0, 0] * 0.125).astype(o_ref.dtype)
+        zfill = jnp.zeros((Y, (Z - 2 * Zp) * C), o_ref.dtype)
+        cols = []
+        for k in range(Zp):
+            blk = rep[:, k * C: (k + 1) * C]
+            cols.extend([blk, blk])
+        full = jnp.concatenate(cols + [zfill], axis=1)
+        o_ref[0, 0] = full
+        o_ref[0, 1] = full
+
+    @pl.when(i >= Xp)
+    def _():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        o_ref[0, 1] = jnp.zeros_like(o_ref[0, 1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def avg_pool3d_2x2(x, use_pallas=None, interpret=False):
+    """(B, X, Y, Z, C) -> floor-halved, torch AvgPool3d(2,2)."""
+    if not _use_pallas(x, use_pallas) and not interpret:
+        s = jax.lax.reduce_window(
+            x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 2, 1),
+            (1, 2, 2, 2, 1), "VALID")
+        return (s * 0.125).astype(x.dtype)
+    return _fwd_pallas(x, "avg", interpret)
+
+
+def _ap_fwd(x, use_pallas, interpret):
+    # residual: zero-byte array carrying only the input shape and dtype
+    token = jnp.zeros((*x.shape, 0), x.dtype)
+    return avg_pool3d_2x2(x, use_pallas, interpret), token
+
+
+def _ap_bwd(use_pallas, interpret, token, g):
+    shape, dtype = token.shape[:-1], token.dtype
+    b, X, Y, Z, C = shape
+    Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    if (not _use_pallas(jax.ShapeDtypeStruct(shape, dtype), use_pallas)
+            and not interpret):
+        g8 = (g.astype(jnp.float32) * 0.125).astype(dtype)
+        up = jnp.zeros((b, X, Y, Z, C), dtype)
+        up = up.at[:, :2 * Xp, :2 * Yp, :2 * Zp].set(
+            jnp.repeat(jnp.repeat(jnp.repeat(g8, 2, 1), 2, 2), 2, 3))
+        return (up,)
+    g2 = g.reshape(b, Xp, Yp, Zp * C).astype(dtype)
+    _, _, re = _sel_matrices(Y, dtype)
+    gx = X - 2 * Xp
+    dx = pl.pallas_call(
+        functools.partial(_avg_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp),
+        out_shape=jax.ShapeDtypeStruct((b, X, Y, Z * C), dtype),
+        grid=(b, Xp + gx),
+        in_specs=[
+            pl.BlockSpec((1, 1, Yp, Zp * C),
+                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(g2, re)
+    return (dx.reshape(b, X, Y, Z, C),)
+
+
+avg_pool3d_2x2.defvjp(_ap_fwd, _ap_bwd)
