@@ -104,7 +104,9 @@ def _pool_bwd_kernel(x_ref, p_ref, g_ref, re_ref, se_ref, so_ref, o_ref,
         gi = g.astype(jnp.float32) / cnt
         rep_g = _dot(re_ref[...], gi.astype(x_ref.dtype)).astype(jnp.float32)
 
-        zfill = jnp.zeros((Y, (Z - 2 * Zp) * C), x_ref.dtype)  # odd-z tail
+        # odd-z tail gets zero gradient (VALID pooling never reads it)
+        tail = ([jnp.zeros((Y, (Z - 2 * Zp) * C), x_ref.dtype)]
+                if Z > 2 * Zp else [])
         for r in (0, 1):
             de = (eqs[r][0] * rep_g).astype(x_ref.dtype)       # (Y, Zp*C)
             do = (eqs[r][1] * rep_g).astype(x_ref.dtype)
@@ -112,7 +114,7 @@ def _pool_bwd_kernel(x_ref, p_ref, g_ref, re_ref, se_ref, so_ref, o_ref,
             for k in range(Zp):
                 cols.append(de[:, k * C: (k + 1) * C])
                 cols.append(do[:, k * C: (k + 1) * C])
-            full = jnp.concatenate(cols + [zfill], axis=1)     # (Y, Z*C)
+            full = jnp.concatenate(cols + tail, axis=1)        # (Y, Z*C)
             o_ref[0, r] = full
 
     @pl.when(i >= Xp)
@@ -235,12 +237,13 @@ def _avg_bwd_kernel(g_ref, re_ref, o_ref, *, Y, Z, Zp, C, Xp):
     @pl.when(i < Xp)
     def _():
         rep = _dot(re_ref[...], g_ref[0, 0] * 0.125).astype(o_ref.dtype)
-        zfill = jnp.zeros((Y, (Z - 2 * Zp) * C), o_ref.dtype)
+        tail = ([jnp.zeros((Y, (Z - 2 * Zp) * C), o_ref.dtype)]
+                if Z > 2 * Zp else [])
         cols = []
         for k in range(Zp):
             blk = rep[:, k * C: (k + 1) * C]
             cols.extend([blk, blk])
-        full = jnp.concatenate(cols + [zfill], axis=1)
+        full = jnp.concatenate(cols + tail, axis=1)
         o_ref[0, 0] = full
         o_ref[0, 1] = full
 
