@@ -24,13 +24,17 @@ Dtype = Any
 
 
 class ConvBNAct(nn.Module):
-    """Conv3d(+pad) -> BatchNorm -> activation, the sNet/SFCN unit cell.
+    """Conv3d(+pad) -> BatchNorm -> activation [-> fused 2x2x2 pool].
 
-    Single-input-channel 3x3x3 stride-1 SAME convs (the sNet stem — the
-    step-time hotspot, see ops/stem.py) route through the banded-MXU Pallas
-    kernel on TPU; everything else lowers to `conv_general_dilated`.
-    Parameters are declared explicitly so the param tree is identical on
-    every backend: {kernel (D,H,W,I,O), bias (O,), BatchNorm_0/{scale,bias}}.
+    Single-input-channel 3x3x3 stride-1 SAME convs (the sNet stem) route
+    through the banded-MXU Pallas kernel on TPU; everything else lowers to
+    `conv_general_dilated`. BatchNorm is ManualBN (identical param tree to
+    flax BatchNorm: {kernel, bias, BatchNorm_0/{scale,bias}} + batch_stats
+    {mean,var}) which returns the per-channel affine; the conv bias folds
+    into the affine shift, so the apply+activation is ONE elementwise
+    consumer — and when `pool='max'` it fuses into the Pallas pool kernel
+    prologue on TPU so the full-resolution activated tensor never exists
+    in HBM (ops/pool3d.py::max_pool3d_2x2_affine_act).
     """
 
     features: int
@@ -38,6 +42,7 @@ class ConvBNAct(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     padding: str = "SAME"
     act: str = "leaky_relu"  # 'leaky_relu' | 'relu' | 'none'
+    pool: Optional[str] = None  # None | 'max' | 'avg' (2x2x2 stride 2)
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None  # None = fast (bf16 MXU); 'highest' = f32
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
@@ -46,7 +51,10 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..ops.pool3d import (avg_pool3d_2x2, max_pool3d_2x2,
+                                  max_pool3d_2x2_affine_act)
         from ..ops.stem import stem_conv
+        from .batchnorm import ManualBN, bn_affine_reference
 
         cin = x.shape[-1]
         kernel = self.param(
@@ -57,7 +65,7 @@ class ConvBNAct(nn.Module):
             (self.features,),
         )
         dt = self.dtype or x.dtype
-        xd, kd, bd = x.astype(dt), kernel.astype(dt), bias.astype(dt)
+        xd, kd = x.astype(dt), kernel.astype(dt)
 
         stem_ok = (
             cin == 1
@@ -76,30 +84,38 @@ class ConvBNAct(nn.Module):
             and self.padding == "SAME"
             and self.precision is None
         )
+        # linear conv output; the bias folds into the BN affine below
         if use_stem and stem_ok:
-            y = stem_conv(xd[..., 0], kd[:, :, :, 0, :]) + bd
+            y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
         elif body_ok:
             from ..ops.conv3d import conv3d_3x3
 
-            y = conv3d_3x3(xd, kd, self.use_stem_kernel) + bd
+            y = conv3d_3x3(xd, kd, self.use_stem_kernel)
         else:
             y = jax.lax.conv_general_dilated(
                 xd, kd, self.strides, self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 precision=self.precision,
-            ) + bd
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            axis_name=self.axis_name,
-        )(y)
-        if self.act == "leaky_relu":
-            y = nn.leaky_relu(y, negative_slope=0.01)
-        elif self.act == "relu":
-            y = nn.relu(y)
-        return y
+            )
+
+        scale, shift = ManualBN(
+            momentum=self.bn_momentum, epsilon=1e-5,
+            axis_name=self.axis_name, name="BatchNorm_0",
+        )(y, conv_bias=bias, train=train)
+        slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
+
+        if self.pool == "max" and y.ndim == 5:
+            Z, C = y.shape[-2], y.shape[-1]
+            s_lanes = jnp.tile(scale, Z)
+            b_lanes = jnp.tile(shift, Z)
+            return max_pool3d_2x2_affine_act(
+                y, s_lanes, b_lanes, slope, self.use_stem_kernel)
+        z = bn_affine_reference(y, scale, shift, slope)
+        if self.pool == "max":
+            return max_pool3d_2x2(z, self.use_stem_kernel)
+        if self.pool == "avg":
+            return avg_pool3d_2x2(z, self.use_stem_kernel)
+        return z
 
 
 def max_pool3d(x, window: int = 2, stride: int = 2, fast: bool = True):
@@ -156,17 +172,13 @@ class SNet(nn.Module):
         Blk = (nn.remat(ConvBNAct, static_argnums=(2,)) if self.remat
                else ConvBNAct)
         d = self.dim
+        x = Blk(d // 4, pool="max", **kw)(x, train)
         x = Blk(d // 4, **kw)(x, train)
-        x = max_pool3d(x)
-        x = Blk(d // 4, **kw)(x, train)
+        x = Blk(d // 2, pool="max", **kw)(x, train)
         x = Blk(d // 2, **kw)(x, train)
-        x = max_pool3d(x)
-        x = Blk(d // 2, **kw)(x, train)
-        x = Blk(d, **kw)(x, train)
-        x = max_pool3d(x)
+        x = Blk(d, pool="max", **kw)(x, train)
         x = Blk(d * 2, **kw)(x, train)
-        x = Blk(d, kernel=(1, 1, 1), **kw)(x, train)
-        x = avg_pool3d(x)
+        x = Blk(d, kernel=(1, 1, 1), pool="avg", **kw)(x, train)
         return x
 
 
@@ -184,8 +196,7 @@ class SFCN(nn.Module):
         kw = dict(act="relu", dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name)
         for ch in self.channels[:4]:
-            x = ConvBNAct(ch, **kw)(x, train)
-            x = max_pool3d(x)
+            x = ConvBNAct(ch, pool="max", **kw)(x, train)
         x = ConvBNAct(self.channels[4], kernel=(1, 1, 1), **kw)(x, train)
         return x
 

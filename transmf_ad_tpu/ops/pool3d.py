@@ -302,3 +302,197 @@ def _ap_bwd(use_pallas, interpret, token, g):
 
 
 avg_pool3d_2x2.defvjp(_ap_fwd, _ap_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused affine + LeakyReLU + 2x2x2 max pool
+#
+# pooled = maxpool2(leaky(y * scale + shift)) with per-channel scale/shift
+# expanded to (Z*C,) lane vectors by the caller. This is the BatchNorm-apply
+# + activation + pool of a sNet stage END fused into the pool kernel, so the
+# full-resolution activated tensor never exists in HBM: the kernel reads the
+# RAW conv output once and writes the pooled result (1/8 size). The conv
+# bias and the BN mean/var/gamma/beta all fold into (scale, shift) outside
+# (plain jnp algebra on (C,) vectors, so autodiff routes their gradients).
+#
+# The backward kernel recomputes the activation in-register, routes the
+# pooled gradient through the window-max equality masks (ties split
+# equally), multiplies by the activation derivative and scale for dy, and
+# accumulates the per-lane reductions d(scale) = sum(dpre * y) and
+# d(shift) = sum(dpre) across the grid into one (2, Z*C) f32 output.
+# ---------------------------------------------------------------------------
+
+
+def _mpa_fwd_kernel(x_ref, s_ref, b_ref, se_ref, so_ref, o_ref,
+                    *, Y, Zp, C, Xp, slope):
+    zs = []
+    for r in (0, 1):
+        pre = (x_ref[0, r].astype(jnp.float32) * s_ref[0] + b_ref[0])
+        zs.append(jnp.where(pre >= 0, pre, slope * pre).astype(o_ref.dtype))
+    m = jnp.maximum(zs[0], zs[1])
+    mz = _zpair(m, Zp, C, jnp.maximum)
+    e = _dot(se_ref[...], mz)
+    o = _dot(so_ref[...], mz)
+    o_ref[0, 0] = jnp.maximum(e, o).astype(o_ref.dtype)
+
+
+def _mpa_bwd_kernel(x_ref, s_ref, b_ref, p_ref, g_ref, re_ref, se_ref,
+                    so_ref, dx_ref, dsb_ref, *, Y, Z, Zp, C, Xp, slope):
+    i = pl.program_id(1)
+    first = (pl.program_id(0) == 0) & (i == 0)
+
+    @pl.when(first)
+    def _():
+        dsb_ref[...] = jnp.zeros_like(dsb_ref)
+
+    @pl.when(i < Xp)
+    def _():
+        rep_p = _dot(re_ref[...], p_ref[0, 0])          # (Y, ZpC) f32
+        g = g_ref[0, 0]
+
+        pres, eqs = [], []
+        for r in (0, 1):
+            t = x_ref[0, r].astype(jnp.float32)
+            pre = t * s_ref[0] + b_ref[0]
+            z = jnp.where(pre >= 0, pre, slope * pre).astype(
+                x_ref.dtype).astype(jnp.float32)        # fwd-identical round
+            ze = jnp.concatenate(
+                [z[:, (2 * k) * C: (2 * k + 1) * C] for k in range(Zp)], 1)
+            zo = jnp.concatenate(
+                [z[:, (2 * k + 1) * C: (2 * k + 2) * C] for k in range(Zp)],
+                1)
+            pres.append(pre)
+            eqs.append((ze == rep_p, zo == rep_p))
+        msum = functools.reduce(
+            jnp.add, [m.astype(x_ref.dtype) for pair in eqs for m in pair])
+        cnt = _dot(se_ref[...], msum) + _dot(so_ref[...], msum)
+        gi = g.astype(jnp.float32) / cnt
+        rep_g = _dot(re_ref[...], gi.astype(x_ref.dtype)).astype(jnp.float32)
+
+        tail = ([jnp.zeros((Y, (Z - 2 * Zp) * C), jnp.float32)]
+                if Z > 2 * Zp else [])
+        ds_acc = jnp.zeros((1, Z * C), jnp.float32)
+        db_acc = jnp.zeros((1, Z * C), jnp.float32)
+        for r in (0, 1):
+            de = eqs[r][0] * rep_g                       # (Y, Zp*C) f32
+            do = eqs[r][1] * rep_g
+            cols = []
+            for k in range(Zp):
+                cols.append(de[:, k * C: (k + 1) * C])
+                cols.append(do[:, k * C: (k + 1) * C])
+            dz = jnp.concatenate(cols + tail, axis=1)    # (Y, Z*C) f32
+            dpre = dz * jnp.where(pres[r] >= 0, 1.0, slope)
+            dx_ref[0, r] = (dpre * s_ref[0]).astype(dx_ref.dtype)
+            t = x_ref[0, r].astype(jnp.float32)
+            ds_acc += jnp.sum(dpre * t, axis=0, keepdims=True)
+            db_acc += jnp.sum(dpre, axis=0, keepdims=True)
+        dsb_ref[0:1] += ds_acc
+        dsb_ref[1:2] += db_acc
+
+    @pl.when(i >= Xp)
+    def _():
+        dx_ref[0, 0] = jnp.zeros_like(dx_ref[0, 0])
+        dx_ref[0, 1] = jnp.zeros_like(dx_ref[0, 1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
+                              use_pallas=None, interpret=False):
+    """maxpool2x2x2(leaky_relu(y * s + b)) with (Z*C,)-lane affine vectors.
+
+    y: (B, X, Y, Z, C) raw conv output; s_lanes/b_lanes: f32 (Z*C,) built by
+    tiling per-channel BN scale/shift (+ folded conv bias). Returns the
+    pooled activated tensor; gradients flow to y AND the lane vectors.
+    """
+    b, X, Y, Z, C = y.shape
+    if not _use_pallas(y, use_pallas) and not interpret:
+        z = y.astype(jnp.float32) * s_lanes.reshape(Z, C) + \
+            b_lanes.reshape(Z, C)
+        z = jnp.where(z >= 0, z, slope * z).astype(y.dtype)
+        return jax.lax.reduce_window(
+            z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+            "VALID")
+    Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    y2 = y.reshape(b, X, Y, Z * C)
+    se, so, _ = _sel_matrices(Y, y.dtype)
+    out = pl.pallas_call(
+        functools.partial(_mpa_fwd_kernel, Y=Y, Zp=Zp, C=C, Xp=Xp,
+                          slope=slope),
+        out_shape=jax.ShapeDtypeStruct((b, Xp, Yp, Zp * C), y.dtype),
+        grid=(b, Xp),
+        in_specs=[
+            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Yp, Zp * C),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y2, s_lanes.reshape(1, Z * C).astype(jnp.float32),
+      b_lanes.reshape(1, Z * C).astype(jnp.float32), se, so)
+    return out.reshape(b, Xp, Yp, Zp, C)
+
+
+def _mpa_fwd(y, s_lanes, b_lanes, slope, use_pallas, interpret):
+    p = max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope, use_pallas,
+                                  interpret)
+    return p, (y, s_lanes, b_lanes, p)
+
+
+def _mpa_bwd(slope, use_pallas, interpret, res, g):
+    y, s_lanes, b_lanes, p = res
+    b, X, Y, Z, C = y.shape
+    Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    if not _use_pallas(y, use_pallas) and not interpret:
+        def f(yy, ss, bb):  # inline reference (NOT the custom_vjp op)
+            z = yy.astype(jnp.float32) * ss.reshape(Z, C) + bb.reshape(Z, C)
+            z = jnp.where(z >= 0, z, slope * z).astype(yy.dtype)
+            return jax.lax.reduce_window(
+                z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+                "VALID")
+
+        _, vjp = jax.vjp(f, y, s_lanes, b_lanes)
+        return vjp(g)
+    y2 = y.reshape(b, X, Y, Z * C)
+    p2 = p.reshape(b, Xp, Yp, Zp * C)
+    g2 = g.reshape(b, Xp, Yp, Zp * C).astype(y.dtype)
+    se, so, re = _sel_matrices(Y, y.dtype)
+    gx = X - 2 * Xp
+    dx, dsb = pl.pallas_call(
+        functools.partial(_mpa_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp,
+                          slope=slope),
+        out_shape=[jax.ShapeDtypeStruct((b, X, Y, Z * C), y.dtype),
+                   jax.ShapeDtypeStruct((2, Z * C), jnp.float32)],
+        grid=(b, Xp + gx),
+        in_specs=[
+            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Yp, Zp * C),
+                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Yp, Zp * C),
+                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Z * C), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(y2, s_lanes.reshape(1, Z * C).astype(jnp.float32),
+      b_lanes.reshape(1, Z * C).astype(jnp.float32), p2, g2, re, se, so)
+    return dx.reshape(b, X, Y, Z, C), dsb[0], dsb[1]
+
+
+max_pool3d_2x2_affine_act.defvjp(_mpa_fwd, _mpa_bwd)
