@@ -507,3 +507,40 @@ class TestPool3D:
             np.asarray(avg_pool3d_2x2(x)),
             np.asarray(fnn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2),
                                     padding="VALID")), atol=1e-6)
+
+
+class TestStemStats:
+    """stem_conv_stats (ops/stem.py): fused Sigma/Sigma^2 epilogue parity."""
+
+    def test_forward_and_stats_parity_interpret(self, rng):
+        from transmf_ad_tpu.ops.stem import (_stem_stats_reference,
+                                             stem_conv_stats)
+
+        x = jnp.asarray(rng.standard_normal((2, 7, 9, 6)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 4)) * 0.2, jnp.float32)
+        yr, str_ = _stem_stats_reference(x, w)
+        yp, stp = stem_conv_stats(x, w, True, True)  # pallas interpret
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stp), np.asarray(str_),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_grad_includes_stats_cotangents(self, rng):
+        from transmf_ad_tpu.ops.stem import (_stem_stats_reference,
+                                             stem_conv_stats)
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 7, 6)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 2)) * 0.2, jnp.float32)
+
+        def loss_custom(x, w):
+            y, st = stem_conv_stats(x, w, True, True)
+            return jnp.sum(y ** 2) + jnp.sum(jnp.sin(st))
+
+        def loss_ref(x, w):
+            y, st = _stem_stats_reference(x, w)
+            return jnp.sum(y ** 2) + jnp.sum(jnp.sin(st))
+
+        g1 = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)

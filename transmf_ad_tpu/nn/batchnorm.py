@@ -35,11 +35,15 @@ class ManualBN(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, y, conv_bias=None, train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, y, conv_bias=None, train: bool = False,
+                 stats=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """y: (..., C) linear conv output (WITHOUT bias when conv_bias is
         given). Returns f32 (scale, shift) with shift including conv_bias:
-        normalized = (y + b) * scale + shift_no_b  ==  y * scale + shift."""
+        normalized = (y + b) * scale + shift_no_b  ==  y * scale + shift.
+
+        stats: optional (sum, sumsq, n) per-channel f32 sums precomputed by
+        a producer kernel (e.g. ops/stem.py::stem_conv_stats), so no XLA op
+        has to re-read the full tensor."""
         C = y.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (C,))
         beta = self.param("bias", nn.initializers.zeros, (C,))
@@ -51,13 +55,16 @@ class ManualBN(nn.Module):
         b = (jnp.zeros((C,), jnp.float32) if conv_bias is None
              else conv_bias.astype(jnp.float32))
         if train:
-            yf = y.astype(jnp.float32)
-            axes = tuple(range(y.ndim - 1))
-            n = 1
-            for d in axes:
-                n *= y.shape[d]
-            s = jnp.sum(yf, axis=axes)
-            ss = jnp.sum(jax.lax.square(yf), axis=axes)
+            if stats is not None:
+                s, ss, n = stats
+            else:
+                yf = y.astype(jnp.float32)
+                axes = tuple(range(y.ndim - 1))
+                n = 1
+                for d in axes:
+                    n *= y.shape[d]
+                s = jnp.sum(yf, axis=axes)
+                ss = jnp.sum(jax.lax.square(yf), axis=axes)
             if self.axis_name is not None:
                 s = jax.lax.psum(s, self.axis_name)
                 ss = jax.lax.psum(ss, self.axis_name)

@@ -85,8 +85,18 @@ class ConvBNAct(nn.Module):
             and self.precision is None
         )
         # linear conv output; the bias folds into the BN affine below
+        stats = None
         if use_stem and stem_ok:
-            y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
+            if train:
+                from ..ops.stem import stem_conv_stats
+
+                y, st = stem_conv_stats(xd[..., 0], kd[:, :, :, 0, :])
+                Z = y.shape[-2]
+                stc = st.reshape(2, Z, self.features).sum(axis=1)
+                n = int(np.prod(y.shape[:-1]))
+                stats = (stc[0], stc[1], n)
+            else:  # eval needs no batch statistics
+                y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
         elif body_ok:
             from ..ops.conv3d import conv3d_3x3
 
@@ -101,7 +111,7 @@ class ConvBNAct(nn.Module):
         scale, shift = ManualBN(
             momentum=self.bn_momentum, epsilon=1e-5,
             axis_name=self.axis_name, name="BatchNorm_0",
-        )(y, conv_bias=bias, train=train)
+        )(y, conv_bias=bias, train=train, stats=stats)
         slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
 
         if self.pool == "max" and y.ndim == 5:

@@ -123,3 +123,208 @@ def _stem_bwd(use_pallas, interpret, res, g):
 
 
 stem_conv.defvjp(_stem_fwd, _stem_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stem conv with fused Sigma/Sigma^2 statistics accumulation
+#
+# BatchNorm statistics of the stem output are the only reason any XLA op
+# has to read the full-resolution stage-1 tensor in the forward pass — and
+# XLA materializes an f32 copy of it in a y-minor layout to do so, which
+# then poisons the whole stage-1 backward chain with layout copies
+# (measured ~10 ms/step). Accumulating per-lane sums in the kernel epilogue
+# costs two in-VMEM row reductions per grid step (~free) and removes every
+# full-tensor XLA pass: mean/var come from a (2, Z*C) f32 output reduced
+# outside on 2912 elements.
+# ---------------------------------------------------------------------------
+
+
+def _stem_stats_kernel(x_ref, r_ref, o_ref, st_ref, lhs_ref, *, Y, Z, C):
+    i = pl.program_id(1)
+    first = (pl.program_id(0) == 0) & (i == 0)
+
+    @pl.when(first)
+    def _():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    zp = Z + 2
+    for dx in range(3):
+        for dy in range(3):
+            k = dx * 3 + dy
+            lhs_ref[:, k * zp: (k + 1) * zp] = x_ref[0, i + dx, dy: dy + Y, :]
+    acc = jax.lax.dot_general(
+        lhs_ref[...], r_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    # statistics of the f32 accumulator (pre-rounding; equal for f32 I/O,
+    # ~1e-3-relative from the bf16-rounded sums, and more accurate)
+    st_ref[0:1] += jnp.sum(acc, axis=0, keepdims=True)
+    st_ref[1:2] += jnp.sum(acc * acc, axis=0, keepdims=True)
+
+
+def _stem_stats_pallas(x, w, interpret=False):
+    b, X, Y, Z = x.shape
+    C = w.shape[-1]
+    r = _build_band(w.astype(jnp.float32), Z).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    y, st = pl.pallas_call(
+        functools.partial(_stem_stats_kernel, Y=Y, Z=Z, C=C),
+        out_shape=[jax.ShapeDtypeStruct((b, X, Y, Z * C), x.dtype),
+                   jax.ShapeDtypeStruct((2, Z * C), jnp.float32)],
+        grid=(b, X),
+        in_specs=[
+            pl.BlockSpec((1, X + 2, Y + 2, Z + 2), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Z * C), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Y, 9 * (Z + 2)), x.dtype)],
+        interpret=interpret,
+    )(xp, r)
+    return y.reshape(b, X, Y, Z, C), st
+
+
+def _stem_stats_reference(x, w):
+    y = _conv_reference(x, w)
+    b, X, Y, Z, C = y.shape
+    yf = y.astype(jnp.float32).reshape(b, X, Y, Z * C)
+    return y, jnp.stack([jnp.sum(yf, axis=(0, 1, 2)),
+                         jnp.sum(yf * yf, axis=(0, 1, 2))])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def stem_conv_stats(x, w, use_pallas=True, interpret=False):
+    """Single-channel 3x3x3 SAME conv + per-lane stats: (B, X, Y, Z) ->
+    ((B, X, Y, Z, C), (2, Z*C) f32 [sum, sum-of-squares] over B, X, Y).
+
+    Reduce the stats to per-channel outside: `st.reshape(2, Z, C).sum(1)`.
+    """
+    if not use_pallas:
+        return _stem_stats_reference(x, w)
+    return _stem_stats_pallas(x, w, interpret=interpret)
+
+
+def _ss_fwd(x, w, use_pallas, interpret):
+    y, st = stem_conv_stats(x, w, use_pallas, interpret)
+    return (y, st), (x, w, y)
+
+
+def _ss_bwd(use_pallas, interpret, res, cot):
+    x, w, y = res
+    gy, gst = cot
+    b, X, Y, Z, C = y.shape
+    # stats cotangents broadcast into the y cotangent:
+    #   d/dy [sum]   = gst[0];   d/dy [sumsq] = 2 * y * gst[1]
+    # Stay in y.dtype end-to-end: an f32 formulation makes XLA materialize
+    # f32 copies of BOTH full-res tensors in a y-minor layout (~10 ms/step)
+    g0 = gst[0].reshape(Z, C).astype(y.dtype)
+    g1 = (2.0 * gst[1]).reshape(Z, C).astype(y.dtype)
+    if use_pallas:
+        # banded-MXU dw with the yhat assembly fused in the kernel prologue
+        dw = _stem_dw_pallas(x, y, gy, gst[0], 2.0 * gst[1],
+                             interpret=interpret).astype(w.dtype)
+    else:
+        yhat_w = gy.astype(y.dtype) + g0 + y * g1
+        (dw,) = jax.linear_transpose(lambda ww: _conv_reference(x, ww), w)(
+            yhat_w.astype(w.dtype))
+    # dx is dead code in training (the stem consumes the input volume);
+    # XLA removes this whole chain when dx is unused.
+    yhat = gy.astype(y.dtype) + g0 + y * g1
+    (dx,) = jax.linear_transpose(lambda xx: _conv_reference(xx, w), x)(
+        yhat.astype(x.dtype))
+    return dx, dw
+
+
+stem_conv_stats.defvjp(_ss_fwd, _ss_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stem conv-grad-weights on the MXU, with the stats-cotangent assembly fused
+#
+# XLA computes the stem dw as a VPU multiply-add running at its ~3.9 TF/s
+# peak (~4 ms/modality) and needs the assembled cotangent
+# yhat = gy + a + b*y materialized first — which costs another ~9 ms/modality
+# in elementwise passes and layout copies ({3,2,1,0} -> {2,3,1,0} ->
+# {2,4,3,1,0} -> {4,0,3,2,1}) because the conv-grad op prefers layouts its
+# producers do not.
+#
+# This kernel assembles yhat in-register and contracts on the MXU using the
+# same banded structure as the forward: per (batch, x-row),
+#   T += lhs^T @ yhat        (9*(Z+2), Z*C) f32, accumulated over the grid
+# where lhs is the forward kernel's (Y, 9*(Z+2)) patch packing. dw's 27 taps
+# are the three shifted diagonals of each (Z+2, Z) band block of T:
+#   dw[dxdy, dz, c] = sum_z T[dxdy*(Z+2) + z + dz, z*C + c]
+# extracted OUTSIDE with jnp.diagonal on the (9, Z+2, Z, C) reshape (tiny).
+# The band redundancy costs ~30x the minimal dw FLOPs but converts VPU
+# work into MXU work and absorbs the assembly+copies: measured full-step
+# win in docs/PERFORMANCE.md.
+# ---------------------------------------------------------------------------
+
+
+def _stem_dw_kernel(x0_ref, x1_ref, x2_ref, y_ref, gy_ref, ab_ref, t_ref,
+                    lhs_ref, *, Y, Z, C):
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        t_ref[...] = jnp.zeros_like(t_ref)
+
+    zp = Z + 2
+    for dx, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        for dy in range(3):
+            k = dx * 3 + dy
+            lhs_ref[:, k * zp: (k + 1) * zp] = x_ref[0, 0, dy: dy + Y, :]
+    yh = (gy_ref[0, 0] +
+          (ab_ref[0:1] + y_ref[0, 0].astype(jnp.float32) * ab_ref[1:2]
+           ).astype(gy_ref.dtype))
+    t_ref[...] += jax.lax.dot_general(
+        lhs_ref[...], yh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stem_dw_pallas(x, y, gy, a_lanes, b_lanes, interpret=False):
+    """dw (3,3,3,C) from input x (B,X,Y,Z), output y, direct cotangent gy,
+    and per-lane stats-cotangent terms (yhat = gy + a + b*y)."""
+    b, X, Y, Z = x.shape
+    C = y.shape[-1]
+    zp = Z + 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1))).astype(y.dtype)
+    y2 = y.reshape(b, X, Y, Z * C)
+    g2 = gy.reshape(b, X, Y, Z * C).astype(y.dtype)
+    ab = jnp.stack([a_lanes, b_lanes]).astype(jnp.float32)  # (2, Z*C)
+
+    def row_spec(off):
+        return pl.BlockSpec((1, 1, Y + 2, zp),
+                            lambda bi, i: (bi, i + off, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    t = pl.pallas_call(
+        functools.partial(_stem_dw_kernel, Y=Y, Z=Z, C=C),
+        out_shape=jax.ShapeDtypeStruct((9 * zp, Z * C), jnp.float32),
+        grid=(b, X),
+        in_specs=[
+            row_spec(0), row_spec(1), row_spec(2),
+            pl.BlockSpec((1, 1, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * zp, Z * C), lambda bi, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Y, 9 * zp), y.dtype)],
+        interpret=interpret,
+    )(xp, xp, xp, y2, g2, ab)
+
+    t4 = t.reshape(9, zp, Z, C)
+    taps = [jnp.diagonal(t4, offset=-dz, axis1=1, axis2=2).sum(-1)
+            for dz in range(3)]                       # each (9, C)
+    dw = jnp.stack(taps, axis=1).reshape(3, 3, 3, C)  # (dxdy, dz) -> 3,3,3
+    return dw
