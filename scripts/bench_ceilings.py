@@ -77,7 +77,9 @@ def conv2d_folded(x, w3):
 
 
 def main():
-    from transmf_ad_tpu.ops.conv3d import _conv_pallas
+    # the Pallas body-conv kernel was removed in round 3 (lost to XLA at
+    # every body stage — docs/PERFORMANCE.md); its ceiling row is skipped
+    _conv_pallas = None
 
     rng = np.random.default_rng(0)
 
@@ -114,7 +116,8 @@ def main():
                         jnp.bfloat16)
         gf = 2 * 27 * ci * co * B * X * Y * Z / 1e9
         for label, fn in [("xla3d", conv3d), ("dx3", conv2d_folded),
-                          ("pallas", _conv_pallas)]:
+                          *([("pallas", _conv_pallas)]
+                            if _conv_pallas else [])]:
             dt = timed_scan(fn, x, w)
             print(f"  {name} {label:7s} {dt*1e3:7.2f} ms  "
                   f"{gf/dt/1e3:6.1f} TF/s", flush=True)

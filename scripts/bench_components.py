@@ -38,7 +38,6 @@ if __name__ == "__main__":
 
     from transmf_ad_tpu.models import build_model
     from transmf_ad_tpu.nn.blocks import SNet
-    from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
     from transmf_ad_tpu.ops.flash_attention import (
         attention_reference, fused_attention)
     from transmf_ad_tpu.ops.stem import _conv_reference as stem_ref, stem_conv
@@ -58,13 +57,15 @@ if __name__ == "__main__":
     rows.append(("stem_conv xla", timeit(
         jax.jit(lambda x, w: stem_ref(x, w)), x, w)))
 
-    # body conv (stage 2a geometry)
+    # body conv (stage 2a geometry) — XLA is the production path; the
+    # Pallas body-conv kernel lost everywhere and was removed in round 3
+    # (docs/PERFORMANCE.md "Reversed round-1 conclusions")
     xb = jnp.asarray(rng.standard_normal((B, 45, 54, 45, 32)), jnp.bfloat16)
     wb = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 32)) * 0.05, jnp.bfloat16)
-    rows.append(("body_conv 32->32 pallas", timeit(
-        jax.jit(lambda x, w: conv3d_3x3(x, w, on_tpu)), xb, wb)))
     rows.append(("body_conv 32->32 xla", timeit(
-        jax.jit(lambda x, w: _conv_reference(x, w)), xb, wb)))
+        jax.jit(lambda x, w: jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))), xb, wb)))
 
     # attention core (full-res token count)
     q = jnp.asarray(rng.standard_normal((B, 4, 1573, 32)), jnp.bfloat16)

@@ -76,7 +76,10 @@ def run(fn, x, w, iters=20):
 
 
 def main():
-    from transmf_ad_tpu.ops.conv3d import _conv_pallas
+    print("NOTE: the Pallas body-conv kernel (ops/conv3d.py) was removed in"
+          " round 3 after losing to XLA at every body stage; this script"
+          " now reports the surviving strategies only.")
+    _conv_pallas = None
 
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() != "cpu"
@@ -94,6 +97,8 @@ def main():
             dt = run(fn, x, w)
             rows.append((label, dt, err))
         if on_tpu:
+            if _conv_pallas is None:
+                continue
             got = np.asarray(_conv_pallas(x, w), np.float32)
             err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
             dt = run(lambda a, b: _conv_pallas(a, b), x, w)

@@ -343,58 +343,6 @@ class TestStemKernel:
                                    atol=2e-2)
 
 
-class TestConv3DKernel:
-    """Pallas body conv (ops/conv3d.py): interpret parity, both regimes."""
-
-    def test_im2col_regime_parity(self, rng):
-        from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
-
-        x = jnp.asarray(rng.standard_normal((1, 6, 7, 9, 32)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 16)) * 0.05,
-                        jnp.float32)
-        ref = _conv_reference(x, w, precision="highest")
-        out = conv3d_3x3(x, w, True, True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-    def test_tapdot_regime_parity(self, rng):
-        from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
-
-        x = jnp.asarray(rng.standard_normal((1, 4, 5, 6, 128)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((3, 3, 3, 128, 8)) * 0.02,
-                        jnp.float32)
-        ref = _conv_reference(x, w, precision="highest")
-        out = conv3d_3x3(x, w, True, True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
-
-    def test_grad_parity(self, rng):
-        from transmf_ad_tpu.ops.conv3d import _conv_reference, conv3d_3x3
-
-        x = jnp.asarray(rng.standard_normal((1, 4, 5, 6, 32)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 8)) * 0.05,
-                        jnp.float32)
-
-        def lp(x, w):
-            return jnp.sum(conv3d_3x3(x, w, True, True) ** 2)
-
-        def lr(x, w):
-            return jnp.sum(_conv_reference(x, w) ** 2)
-
-        g1 = jax.grad(lp, argnums=(0, 1))(x, w)
-        g2 = jax.grad(lr, argnums=(0, 1))(x, w)
-        for a, b in zip(g1, g2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=2e-3, rtol=2e-3)
-
-    def test_vmem_guard_falls_back(self, rng):
-        from transmf_ad_tpu.ops.conv3d import _eligible
-
-        big = jnp.zeros((1, 91, 109, 91, 64), jnp.float32)
-        w = jnp.zeros((3, 3, 3, 64, 64), jnp.float32)
-        assert not _eligible(big, w)  # would blow VMEM -> XLA fallback
-        small = jnp.zeros((1, 22, 27, 22, 64), jnp.float32)
-        assert _eligible(small, jnp.zeros((3, 3, 3, 64, 128)))
-
-
 class TestFusedTokenPool:
     def test_parity_interpret(self, rng):
         from transmf_ad_tpu.ops.pooling import fused_token_pool, pool_reference
@@ -544,3 +492,58 @@ class TestStemStats:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestChannelStats:
+    """channel_stats (ops/stats.py): standalone BN-stats reduction kernel
+    for XLA body convs (bf16 read at bandwidth, no f32 convert_reduce)."""
+
+    def test_forward_parity_interpret(self, rng):
+        from transmf_ad_tpu.ops.stats import _stats_reference, channel_stats
+
+        y = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 32)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(channel_stats(y, True)),  # interpret on CPU
+            np.asarray(_stats_reference(y)), rtol=1e-5, atol=1e-4)
+
+    def test_grad_parity(self, rng):
+        from transmf_ad_tpu.ops.stats import _stats_reference, channel_stats
+
+        y = jnp.asarray(rng.standard_normal((1, 4, 5, 4, 16)), jnp.float32)
+
+        def mk(fn):
+            return lambda v: jnp.sum(jnp.sin(fn(v)))
+
+        g1 = jax.grad(mk(lambda v: channel_stats(v, True)))(y)
+        g2 = jax.grad(mk(_stats_reference))(y)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_profitability_gate(self):
+        from transmf_ad_tpu.ops.stats import stats_profitable
+
+        assert stats_profitable(jnp.zeros((8, 45, 54, 45, 32)))
+        # MiSePyNet collapsed-axis maps: 8 lanes -> grid overhead, gated off
+        assert not stats_profitable(jnp.zeros((8, 45, 54, 1, 8)))
+        assert not stats_profitable(jnp.zeros((2, 4, 4, 4, 32)))  # tiny
+
+    def test_convbnact_body_stats_match_xla(self, rng):
+        """ConvBNAct with the stats kernel ON must produce the same batch
+        stats / output as the pure-XLA path (cin>1 body conv)."""
+        from transmf_ad_tpu.nn.blocks import ConvBNAct
+
+        # stats_profitable needs >=2^18 elements: (2,16,16,16,32) = 2^18
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 8)), jnp.float32)
+        m_on = ConvBNAct(32, use_stem_kernel=True)
+        m_off = ConvBNAct(32, use_stem_kernel=False)
+        v = m_on.init(jax.random.key(0), x, True)
+        y_on, mut_on = m_on.apply(v, x, True, mutable=["batch_stats"])
+        y_off, mut_off = m_off.apply(v, x, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(mut_on["batch_stats"]),
+            jax.tree_util.tree_leaves(mut_off["batch_stats"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

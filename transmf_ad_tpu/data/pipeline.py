@@ -212,6 +212,32 @@ class Loader:
             yield item
 
 
+def pad_batch(batch: Dict[str, np.ndarray], pad_to: int) -> Dict[str, np.ndarray]:
+    """Pad a ragged batch to a fixed leading size and attach a validity
+    mask, so every step of an epoch hits ONE compiled executable and a
+    shape every mesh data-axis divides (jax.shard_map requires it).
+
+    Short batches are padded by REPEATING real samples (wrap-around)
+    rather than zeros: the masked loss/metrics ignore the duplicates
+    entirely, and BatchNorm batch statistics — which see the whole batch —
+    average over real volumes instead of zero-filled ones. (The residual
+    deviation from the reference, which feeds the short batch as-is, is
+    that the final batch's BN statistics weight a few samples twice.)
+    """
+    n = batch["label"].shape[0]
+    mask = np.zeros(pad_to, np.float32)
+    mask[:n] = 1.0
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if n < pad_to:
+            reps = np.take(v, np.arange(pad_to - n) % n, axis=0)
+            v = np.concatenate([v, reps])
+        out[k] = v
+    out["mask"] = mask
+    return out
+
+
 def device_prefetch(batches: Iterable[Dict], sharding=None, depth: int = 2):
     """Move batches to device `depth` steps ahead of consumption.
 
@@ -256,10 +282,12 @@ class DeviceFeed:
     the copy overlaps the previous train step). Used by `Trainer.fit` as
     the production feed; delegates `len`/`peek` to the wrapped loader."""
 
-    def __init__(self, loader, sharding=None, depth: int = 2):
+    def __init__(self, loader, sharding=None, depth: int = 2,
+                 pad_to: Optional[int] = None):
         self.loader = loader
         self.sharding = sharding
         self.depth = depth
+        self.pad_to = pad_to  # fixed batch size (see pad_batch)
 
     def __len__(self):
         return len(self.loader)
@@ -268,4 +296,7 @@ class DeviceFeed:
         return self.loader.peek()
 
     def __iter__(self):
-        return device_prefetch(iter(self.loader), self.sharding, self.depth)
+        it = iter(self.loader)
+        if self.pad_to is not None:
+            it = (pad_batch(b, self.pad_to) for b in it)
+        return device_prefetch(it, self.sharding, self.depth)

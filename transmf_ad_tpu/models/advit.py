@@ -89,11 +89,12 @@ class DepthCollapse(nn.Module):
 
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
-                  precision=self.precision)
+                  precision=self.precision, axis_name=self.axis_name)
         x = ConvBNAct(32, kernel=(1, 1, 25), **kw)(x, train)
         x = nn.max_pool(x, (1, 1, 2), strides=(1, 1, 2), padding="VALID")
         x = ConvBNAct(1, kernel=(1, 1, 25), **kw)(x, train)
@@ -109,12 +110,14 @@ class ADVIT(nn.Module):
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision,
                   use_pallas=self.use_pallas)
-        cd = dict(dtype=self.dtype, precision=self.precision)
+        cd = dict(dtype=self.dtype, precision=self.precision,
+                  axis_name=self.axis_name)
         mri2d = DepthCollapse(name="to_2d_mri", **cd)(mri, train)
         pet2d = DepthCollapse(name="to_2d_pet", **cd)(pet, train)
         mri_lat = ViTEncoder(name="vit_mri", **kw)(mri2d, train)

@@ -37,11 +37,12 @@ class SliceCNN(nn.Module):
     length: int  # size of the collapsed axis
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
-                  precision=self.precision)
+                  precision=self.precision, axis_name=self.axis_name)
         L = self.length
         b1 = ConvBNAct(8, kernel=(1, 1, L), **kw)(x, train)
         k2 = (L + 1) // 2
@@ -66,11 +67,13 @@ class SpatialCNN(nn.Module):
     pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, s1, s2, s3, train: bool = False):
         stack = _StridedStack(kernel=self.kernel, pool=self.pool,
-                              dtype=self.dtype, precision=self.precision)
+                              dtype=self.dtype, precision=self.precision,
+                              axis_name=self.axis_name)
         return stack(s1, train) + stack(s2, train) + stack(s3, train)
 
 
@@ -79,11 +82,12 @@ class _StridedStack(nn.Module):
     pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
-                  precision=self.precision)
+                  precision=self.precision, axis_name=self.axis_name)
         k, p = self.kernel, self.pool
         x = ConvBNAct(16, kernel=(k, k, 1), strides=(2, 2, 2), **kw)(x, train)
         x = nn.max_pool(x, (p, p, 1), strides=(p, p, 1), padding="VALID")
@@ -102,11 +106,13 @@ class MiSePyNet(nn.Module):
     spatial_pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, img, train: bool = False):
         # img: (B, X, Y, Z, 1) channels-last; reference geometry (91,109,91)
-        kw = dict(dtype=self.dtype, precision=self.precision)
+        kw = dict(dtype=self.dtype, precision=self.precision,
+                  axis_name=self.axis_name)
         views = {
             "axial": img,
             # torch permute(0,1,2,4,3): swap last two spatial dims
@@ -134,12 +140,14 @@ class Mnet(nn.Module):
     spatial_pool: int = 3
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(spatial_kernel=self.spatial_kernel,
                   spatial_pool=self.spatial_pool,
-                  dtype=self.dtype, precision=self.precision)
+                  dtype=self.dtype, precision=self.precision,
+                  axis_name=self.axis_name)
         mri_feat = MiSePyNet(name="mri", **kw)(mri, train)
         pet_feat = MiSePyNet(name="pet", **kw)(pet, train)
         x = jnp.concatenate([mri_feat, pet_feat], axis=-1)
@@ -148,7 +156,8 @@ class Mnet(nn.Module):
             x = _dense(w, dtype=self.dtype, in_features=fan_in,
                        precision=self.precision)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype)(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.axis_name)(x)
             x = nn.relu(x)
             x = nn.Dropout(0.5, deterministic=not train)(x)
             fan_in = w

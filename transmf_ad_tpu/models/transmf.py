@@ -67,6 +67,8 @@ class _FusionHead(nn.Module):
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
     use_batchnorm: bool = True
+    axis_name: Optional[str] = None  # cross-device BN stats under shard_map
+    drop_rate: float = 0.5  # reference hardcodes 0.5 (mymodel.py:190-192)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,9 +79,10 @@ class _FusionHead(nn.Module):
                        precision=self.precision)(x)
             if self.use_batchnorm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype)(x)
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 axis_name=self.axis_name)(x)
             x = nn.relu(x)
-            x = nn.Dropout(0.5, deterministic=not train)(x)
+            x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
             fan_in = w
         return _dense(2, dtype=self.dtype, in_features=fan_in,
                       precision=self.precision)(x)
@@ -91,13 +94,15 @@ class _Discriminator(nn.Module):
 
     dtype: Optional[Dtype] = None
     precision: Optional[Any] = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = _dense(128, dtype=self.dtype, in_features=x.shape[-1],
                    precision=self.precision)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+                         epsilon=1e-5, dtype=self.dtype,
+                         axis_name=self.axis_name)(x)
         x = nn.relu(x)
         return _dense(2, dtype=self.dtype, in_features=128,
                       precision=self.precision)(x)
@@ -111,12 +116,14 @@ class ModelSingle(nn.Module):
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
     remat: bool = False
+    axis_name: Optional[str] = None  # data-shard axis for cross-device BN
 
     @nn.compact
     def __call__(self, img, train: bool = False):
         feat = _snet_cls(self.remat)(
             self.dim, dtype=self.dtype, precision=self.precision,
-            use_pallas=self.use_pallas, name="cnn")(img, train)
+            use_pallas=self.use_pallas, axis_name=self.axis_name,
+            name="cnn")(img, train)
         vec = global_avg_pool(feat)
         return _MLPHead(64, in_features=self.dim, dtype=self.dtype,
                         precision=self.precision, name="fc")(vec)
@@ -130,12 +137,13 @@ class ModelCNN(nn.Module):
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
     remat: bool = False
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        skw = dict(use_pallas=self.use_pallas, **kw)
+        skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
         mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **skw)(mri, train))
         pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **skw)(pet, train))
         fused = jnp.concatenate([mri_vec, pet_vec], axis=-1)
@@ -155,19 +163,23 @@ class ModelTransformer(nn.Module):
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
     remat: bool = False
+    axis_name: Optional[str] = None
+    head_dropout: float = 0.5  # library extra; reference hardcodes 0.5
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        skw = dict(use_pallas=self.use_pallas, **kw)
+        skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
         mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **skw)(mri, train))
         pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **skw)(pet, train))
         fused = CrossTransformerModAvg(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
         )(mri_tok, pet_tok, train)
-        return _FusionHead(4 * self.dim, name="fc_cls", **kw)(fused, train)
+        return _FusionHead(4 * self.dim, axis_name=self.axis_name,
+                           drop_rate=self.head_dropout,
+                           name="fc_cls", **kw)(fused, train)
 
 
 class ModelTransformerRes(nn.Module):
@@ -183,12 +195,14 @@ class ModelTransformerRes(nn.Module):
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
     remat: bool = False
+    axis_name: Optional[str] = None
+    head_dropout: float = 0.5  # library extra; reference hardcodes 0.5
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        skw = dict(use_pallas=self.use_pallas, **kw)
+        skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
         mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **skw)(mri, train))
         pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **skw)(pet, train))
         mri_f, pet_f = CrossTransformer(
@@ -200,7 +214,8 @@ class ModelTransformerRes(nn.Module):
         pooled = jnp.concatenate(
             [jnp.mean(mri_f, axis=1), jnp.mean(pet_f, axis=1)], axis=-1
         )
-        return _FusionHead(2 * self.dim, use_batchnorm=False, name="fc_cls",
+        return _FusionHead(2 * self.dim, use_batchnorm=False,
+                           drop_rate=self.head_dropout, name="fc_cls",
                            **kw)(pooled, train)
 
 
@@ -217,16 +232,17 @@ class ModelCNNAd(nn.Module):
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
     remat: bool = False
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        skw = dict(use_pallas=self.use_pallas, **kw)
+        skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
         mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **skw)(mri, train))
         pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **skw)(pet, train))
 
-        disc = _Discriminator(name="D", **kw)
+        disc = _Discriminator(axis_name=self.axis_name, name="D", **kw)
         d_mri = disc(revgrad(mri_vec, self.grl_alpha), train)
         d_pet = disc(revgrad(pet_vec, self.grl_alpha), train)
 
@@ -250,16 +266,18 @@ class ModelAd(nn.Module):
     precision: Optional[Any] = None
     use_pallas: Optional[bool] = None
     remat: bool = False
+    axis_name: Optional[str] = None
+    head_dropout: float = 0.5  # library extra; reference hardcodes 0.5
 
     @nn.compact
     def __call__(self, mri, pet, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
-        skw = dict(use_pallas=self.use_pallas, **kw)
+        skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
         mri_feat = snet(self.dim, name="mri_cnn", **skw)(mri, train)
         pet_feat = snet(self.dim, name="pet_cnn", **skw)(pet, train)
 
-        disc = _Discriminator(name="D", **kw)
+        disc = _Discriminator(axis_name=self.axis_name, name="D", **kw)
         d_mri = disc(revgrad(global_avg_pool(mri_feat), self.grl_alpha), train)
         d_pet = disc(revgrad(global_avg_pool(pet_feat), self.grl_alpha), train)
 
@@ -267,5 +285,7 @@ class ModelAd(nn.Module):
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
         )(tokens_from_volume(mri_feat), tokens_from_volume(pet_feat), train)
-        logits = _FusionHead(4 * self.dim, name="fc_cls", **kw)(fused, train)
+        logits = _FusionHead(4 * self.dim, axis_name=self.axis_name,
+                             drop_rate=self.head_dropout,
+                             name="fc_cls", **kw)(fused, train)
         return logits, d_mri, d_pet

@@ -4,8 +4,10 @@ Behavioral spec follows the reference's pre-LN ViT-style stack
 (reference: models/networks.py:114-281), built TPU-first: QKV projections are
 single fused matmuls feeding the MXU, and the attention core routes through
 `transmf_ad_tpu.ops.attention_core`, which dispatches to a fused Pallas
-flash-attention kernel on TPU (blockwise, so full-resolution token grids fit
-in VMEM) with a pure-jnp fallback elsewhere.
+attention kernel on TPU (query-blocked with full K/V resident in VMEM — a
+single-pass softmax, sized for this model's token counts up to the 1,573-token
+full-resolution grid; NOT an online-softmax flash kernel) with a pure-jnp
+fallback elsewhere.
 """
 
 from __future__ import annotations

@@ -77,13 +77,6 @@ class ConvBNAct(nn.Module):
         use_stem = self.use_stem_kernel
         if use_stem is None:
             use_stem = stem_ok and jax.default_backend() == "tpu"
-        body_ok = (
-            cin > 1
-            and self.kernel == (3, 3, 3)
-            and self.strides == (1, 1, 1)
-            and self.padding == "SAME"
-            and self.precision is None
-        )
         # linear conv output; the bias folds into the BN affine below
         stats = None
         if use_stem and stem_ok:
@@ -97,16 +90,28 @@ class ConvBNAct(nn.Module):
                 stats = (stc[0], stc[1], n)
             else:  # eval needs no batch statistics
                 y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
-        elif body_ok:
-            from ..ops.conv3d import conv3d_3x3
-
-            y = conv3d_3x3(xd, kd, self.use_stem_kernel)
         else:
+            # Body convs stay XLA: its TPU 3D convs run at up to 183 TF/s
+            # here and the Pallas body-conv kernel measurably loses
+            # (docs/PERFORMANCE.md "Reversed round-1 conclusions").
             y = jax.lax.conv_general_dilated(
                 xd, kd, self.strides, self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 precision=self.precision,
             )
+            # ...but their BN statistics don't: XLA's f32 convert_reduce
+            # materializes a y-minor f32 copy at ~50 GB/s; the Pallas
+            # bf16-read reduction runs at HBM bandwidth (ops/stats.py).
+            if train and self.precision is None:
+                from ..ops.stats import channel_stats, stats_profitable
+
+                use_k = self.use_stem_kernel
+                if use_k is None:
+                    use_k = jax.default_backend() == "tpu"
+                if use_k and stats_profitable(y):
+                    st2 = channel_stats(y)
+                    n = int(np.prod(y.shape[:-1]))
+                    stats = (st2[0], st2[1], n)
 
         scale, shift = ManualBN(
             momentum=self.bn_momentum, epsilon=1e-5,

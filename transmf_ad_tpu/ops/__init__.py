@@ -11,6 +11,7 @@ from typing import Optional
 
 import jax
 
+from ._common import auto_interpret  # noqa: F401
 from .flash_attention import attention_reference, fused_attention  # noqa: F401
 
 
@@ -21,11 +22,11 @@ def _on_tpu() -> bool:
 def attention_core(q, k, v, scale: float, use_pallas: Optional[bool] = None):
     """softmax(q k^T * scale) v for (B, H, N, D) q and (B, H, M, D) k/v.
 
-    use_pallas: True forces the Pallas kernel, False forces plain XLA,
-    None auto-selects (Pallas on TPU).
+    use_pallas: True forces the Pallas kernel (interpret mode off-TPU),
+    False forces plain XLA, None auto-selects (Pallas on TPU).
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        return fused_attention(q, k, v, scale)
+        return fused_attention(q, k, v, scale, auto_interpret(False))
     return attention_reference(q, k, v, scale)

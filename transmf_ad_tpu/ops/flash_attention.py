@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import out_struct
+
 _NEG_INF = -1e30
 
 
@@ -67,7 +69,7 @@ def _fused_attention_fwd_pallas(q, k, v, scale, block_q=256, interpret=False):
     grid = (bh, np_ // block_q)
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=scale, m_actual=m),
-        out_shape=jax.ShapeDtypeStruct((bh, np_, dp), q.dtype),
+        out_shape=out_struct((bh, np_, dp), q.dtype, q, k, v),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),

@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import auto_interpret, out_struct, reduce_ct
+
 
 def _sel_matrices(Y: int, dtype):
     """Se/So (Yp, Y): select even/odd rows; Re (Y, Yp): broadcast row y//2."""
@@ -133,7 +135,7 @@ def _fwd_pallas(x, mode, interpret):
     out = pl.pallas_call(
         functools.partial(_pool_fwd_kernel, Y=Y, Zp=Zp, C=C, Xp=Xp,
                           mode=mode),
-        out_shape=jax.ShapeDtypeStruct((b, Xp, Yp, Zp * C), x.dtype),
+        out_shape=out_struct((b, Xp, Yp, Zp * C), x.dtype, x2),
         grid=(b, Xp),
         in_specs=[
             pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
@@ -159,7 +161,7 @@ def _bwd_pallas(x, p, g, interpret):
     gx = X - 2 * Xp  # 1 extra grid step to zero the odd trailing x row
     dx = pl.pallas_call(
         functools.partial(_pool_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp),
-        out_shape=jax.ShapeDtypeStruct((b, X, Y, Z * C), x.dtype),
+        out_shape=out_struct((b, X, Y, Z * C), x.dtype, x2, g2),
         grid=(b, Xp + gx),
         in_specs=[
             pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
@@ -208,7 +210,7 @@ def max_pool3d_2x2(x, use_pallas=None, interpret=False):
             x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
             else jnp.iinfo(x.dtype).min,
             jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
-    return _fwd_pallas(x, "max", interpret)
+    return _fwd_pallas(x, "max", auto_interpret(interpret))
 
 
 def _mp_fwd(x, use_pallas, interpret):
@@ -225,7 +227,7 @@ def _mp_bwd(use_pallas, interpret, res, g):
                 v, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1),
                 (1, 2, 2, 2, 1), "VALID"), x)
         return (vjp(g)[0],)
-    return (_bwd_pallas(x, p, g, interpret),)
+    return (_bwd_pallas(x, p, g, auto_interpret(interpret)),)
 
 
 max_pool3d_2x2.defvjp(_mp_fwd, _mp_bwd)
@@ -261,7 +263,7 @@ def avg_pool3d_2x2(x, use_pallas=None, interpret=False):
             x.astype(jnp.float32), 0.0, jax.lax.add, (1, 2, 2, 2, 1),
             (1, 2, 2, 2, 1), "VALID")
         return (s * 0.125).astype(x.dtype)
-    return _fwd_pallas(x, "avg", interpret)
+    return _fwd_pallas(x, "avg", auto_interpret(interpret))
 
 
 def _ap_fwd(x, use_pallas, interpret):
@@ -286,7 +288,7 @@ def _ap_bwd(use_pallas, interpret, token, g):
     gx = X - 2 * Xp
     dx = pl.pallas_call(
         functools.partial(_avg_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp),
-        out_shape=jax.ShapeDtypeStruct((b, X, Y, Z * C), dtype),
+        out_shape=out_struct((b, X, Y, Z * C), dtype, g2),
         grid=(b, Xp + gx),
         in_specs=[
             pl.BlockSpec((1, 1, Yp, Zp * C),
@@ -296,7 +298,7 @@ def _ap_bwd(use_pallas, interpret, token, g):
         ],
         out_specs=pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=auto_interpret(interpret),
     )(g2, re)
     return (dx.reshape(b, X, Y, Z, C),)
 
@@ -413,12 +415,13 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
             z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
             "VALID")
     Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    interpret = auto_interpret(interpret)
     y2 = y.reshape(b, X, Y, Z * C)
     se, so, _ = _sel_matrices(Y, y.dtype)
     out = pl.pallas_call(
         functools.partial(_mpa_fwd_kernel, Y=Y, Zp=Zp, C=C, Xp=Xp,
                           slope=slope),
-        out_shape=jax.ShapeDtypeStruct((b, Xp, Yp, Zp * C), y.dtype),
+        out_shape=out_struct((b, Xp, Yp, Zp * C), y.dtype, y2),
         grid=(b, Xp),
         in_specs=[
             pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
@@ -456,7 +459,9 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
                 "VALID")
 
         _, vjp = jax.vjp(f, y, s_lanes, b_lanes)
-        return vjp(g)
+        dy, ds, db = vjp(g)
+        return dy, reduce_ct(ds, s_lanes), reduce_ct(db, b_lanes)
+    interpret = auto_interpret(interpret)
     y2 = y.reshape(b, X, Y, Z * C)
     p2 = p.reshape(b, Xp, Yp, Zp * C)
     g2 = g.reshape(b, Xp, Yp, Zp * C).astype(y.dtype)
@@ -465,8 +470,8 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
     dx, dsb = pl.pallas_call(
         functools.partial(_mpa_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp,
                           slope=slope),
-        out_shape=[jax.ShapeDtypeStruct((b, X, Y, Z * C), y.dtype),
-                   jax.ShapeDtypeStruct((2, Z * C), jnp.float32)],
+        out_shape=[out_struct((b, X, Y, Z * C), y.dtype, y2, g2),
+                   out_struct((2, Z * C), jnp.float32, y2, g2)],
         grid=(b, Xp + gx),
         in_specs=[
             pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
@@ -492,7 +497,8 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
         interpret=interpret,
     )(y2, s_lanes.reshape(1, Z * C).astype(jnp.float32),
       b_lanes.reshape(1, Z * C).astype(jnp.float32), p2, g2, re, se, so)
-    return dx.reshape(b, X, Y, Z, C), dsb[0], dsb[1]
+    return (dx.reshape(b, X, Y, Z, C),
+            reduce_ct(dsb[0], s_lanes), reduce_ct(dsb[1], b_lanes))
 
 
 max_pool3d_2x2_affine_act.defvjp(_mpa_fwd, _mpa_bwd)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import out_struct
+
 
 def _pool_kernel(mri_ref, pet_ref, o_ref, *, dim):
     mri = mri_ref[...].astype(jnp.float32)  # (B, N, D)
@@ -34,7 +36,7 @@ def _pool_pallas(mri, pet, interpret=False):
     # few MB even at full-resolution token counts
     return pl.pallas_call(
         functools.partial(_pool_kernel, dim=d),
-        out_shape=jax.ShapeDtypeStruct((b, 4 * d), mri.dtype),
+        out_shape=out_struct((b, 4 * d), mri.dtype, mri, pet),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -59,7 +61,9 @@ def fused_token_pool(mri, pet, use_pallas=None, interpret=False):
         use = jax.default_backend() == "tpu"
     if not use:
         return pool_reference(mri, pet)
-    return _pool_pallas(mri, pet, interpret=interpret)
+    from ._common import auto_interpret
+
+    return _pool_pallas(mri, pet, interpret=auto_interpret(interpret))
 
 
 def _fwd(mri, pet, use_pallas, interpret):

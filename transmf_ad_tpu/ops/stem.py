@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import auto_interpret, out_struct, reduce_ct
+
 
 def _build_band(w, Z: int):
     """(3, 3, 3, C) kernel -> R (9*(Z+2), Z*C) block-band matrix.
@@ -74,7 +76,7 @@ def _stem_pallas(x, w, interpret=False):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
     out = pl.pallas_call(
         functools.partial(_stem_kernel, Y=Y, Z=Z, C=C),
-        out_shape=jax.ShapeDtypeStruct((b, X, Y, Z * C), x.dtype),
+        out_shape=out_struct((b, X, Y, Z * C), x.dtype, x),
         grid=(b, X),
         in_specs=[
             pl.BlockSpec((1, X + 2, Y + 2, Z + 2), lambda bi, i: (bi, 0, 0, 0),
@@ -106,7 +108,7 @@ def stem_conv(x, w, use_pallas=True, interpret=False):
     """
     if not use_pallas:
         return _conv_reference(x, w)
-    return _stem_pallas(x, w, interpret=interpret)
+    return _stem_pallas(x, w, interpret=auto_interpret(interpret))
 
 
 def _stem_fwd(x, w, use_pallas, interpret):
@@ -119,7 +121,7 @@ def _stem_bwd(use_pallas, interpret, res, g):
         g.astype(x.dtype))
     (dw,) = jax.linear_transpose(lambda ww: _conv_reference(x, ww), w)(
         g.astype(w.dtype))
-    return dx, dw
+    return dx, reduce_ct(dw, w)
 
 
 stem_conv.defvjp(_stem_fwd, _stem_bwd)
@@ -170,8 +172,8 @@ def _stem_stats_pallas(x, w, interpret=False):
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
     y, st = pl.pallas_call(
         functools.partial(_stem_stats_kernel, Y=Y, Z=Z, C=C),
-        out_shape=[jax.ShapeDtypeStruct((b, X, Y, Z * C), x.dtype),
-                   jax.ShapeDtypeStruct((2, Z * C), jnp.float32)],
+        out_shape=[out_struct((b, X, Y, Z * C), x.dtype, x),
+                   out_struct((2, Z * C), jnp.float32, x)],
         grid=(b, X),
         in_specs=[
             pl.BlockSpec((1, X + 2, Y + 2, Z + 2), lambda bi, i: (bi, 0, 0, 0),
@@ -207,7 +209,7 @@ def stem_conv_stats(x, w, use_pallas=True, interpret=False):
     """
     if not use_pallas:
         return _stem_stats_reference(x, w)
-    return _stem_stats_pallas(x, w, interpret=interpret)
+    return _stem_stats_pallas(x, w, interpret=auto_interpret(interpret))
 
 
 def _ss_fwd(x, w, use_pallas, interpret):
@@ -228,7 +230,7 @@ def _ss_bwd(use_pallas, interpret, res, cot):
     if use_pallas:
         # banded-MXU dw with the yhat assembly fused in the kernel prologue
         dw = _stem_dw_pallas(x, y, gy, gst[0], 2.0 * gst[1],
-                             interpret=interpret).astype(w.dtype)
+                             interpret=auto_interpret(interpret)).astype(w.dtype)
     else:
         yhat_w = gy.astype(y.dtype) + g0 + y * g1
         (dw,) = jax.linear_transpose(lambda ww: _conv_reference(x, ww), w)(
@@ -238,7 +240,7 @@ def _ss_bwd(use_pallas, interpret, res, cot):
     yhat = gy.astype(y.dtype) + g0 + y * g1
     (dx,) = jax.linear_transpose(lambda xx: _conv_reference(xx, w), x)(
         yhat.astype(x.dtype))
-    return dx, dw
+    return dx, reduce_ct(dw, w)
 
 
 stem_conv_stats.defvjp(_ss_fwd, _ss_bwd)
@@ -307,7 +309,7 @@ def _stem_dw_pallas(x, y, gy, a_lanes, b_lanes, interpret=False):
 
     t = pl.pallas_call(
         functools.partial(_stem_dw_kernel, Y=Y, Z=Z, C=C),
-        out_shape=jax.ShapeDtypeStruct((9 * zp, Z * C), jnp.float32),
+        out_shape=out_struct((9 * zp, Z * C), jnp.float32, x, gy),
         grid=(b, X),
         in_specs=[
             row_spec(0), row_spec(1), row_spec(2),

@@ -171,8 +171,16 @@ def run_kfold(opt: Options, variant: str = "adversarial",
         results.append(res_fold)
 
     results = np.array(results, dtype=np.float64)
-    res_mean = np.nanmean(results, axis=0)
-    res_std = np.nanstd(results, axis=0)
+    # an all-NaN metric column (e.g. f1 on a fold set with no positives)
+    # should aggregate to NaN silently, not warn on every green run
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message="Mean of empty slice")
+        warnings.filterwarnings("ignore",
+                                message="Degrees of freedom <= 0")
+        res_mean = np.nanmean(results, axis=0)
+        res_std = np.nanstd(results, axis=0)
     logger_main.print_message("************Final Results************")
     logger_main.print_message(
         "\n".join(

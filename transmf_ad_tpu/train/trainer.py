@@ -96,17 +96,6 @@ class Trainer:
             else:
                 dtype = jnp.dtype(dtype)
         self.dtype = dtype
-        self.model = build_model(
-            cfg.model, dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
-            dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=dtype,
-            remat=cfg.remat, **(cfg.model_kwargs or {}),
-        )
-        self.adversarial = cfg.model in ADVERSARIAL
-        self.modalities: Tuple[str, ...] = (
-            ("MRI",) if cfg.model in SINGLE_MODALITY else ("MRI", "PET")
-        )
-        self.state = None
-        self.lr_schedule = None
         self.mesh = None
         self._batch_sharding = None
         self._replicated = None
@@ -116,6 +105,22 @@ class Trainer:
             n = jax.device_count()
             mp = max(1, cfg.model_parallel)
             self.mesh = make_mesh({"data": n // mp, "model": mp})
+        # Under the mesh the steps run in shard_map (manual over 'data');
+        # axis_name routes BatchNorm statistics through cross-device psums
+        # so batch stats stay global-batch exact (synced BN).
+        self.model = build_model(
+            cfg.model, dim=cfg.dim, depth=cfg.depth, heads=cfg.heads,
+            dropout=cfg.dropout, use_pallas=cfg.use_pallas, dtype=dtype,
+            remat=cfg.remat,
+            axis_name="data" if self.mesh is not None else None,
+            **(cfg.model_kwargs or {}),
+        )
+        self.adversarial = cfg.model in ADVERSARIAL
+        self.modalities: Tuple[str, ...] = (
+            ("MRI",) if cfg.model in SINGLE_MODALITY else ("MRI", "PET")
+        )
+        self.state = None
+        self.lr_schedule = None
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -185,7 +190,8 @@ class Trainer:
         """One padded/masked pass: device-side MetricState accumulation
         plus per-batch probs/labels (tiny fetches) for exact ROC-AUC."""
         if getattr(self, "_eval_step", None) is None:
-            self._eval_step = make_eval_step(self.modalities, self.adversarial)
+            self._eval_step = make_eval_step(self.modalities, self.adversarial,
+                                             mesh=self.mesh)
         eval_step = self._eval_step
         n_data = self._data_axis_size()
         pad_to = None
@@ -243,9 +249,10 @@ class Trainer:
         aug_cfg = cfg.aug_cfg if cfg.aug else None
         train_step = make_train_step(
             self.modalities, self.adversarial, aug_cfg,
-            class_weights=class_weights,
+            class_weights=class_weights, mesh=self.mesh,
         )
-        self._eval_step = make_eval_step(self.modalities, self.adversarial)
+        self._eval_step = make_eval_step(self.modalities, self.adversarial,
+                                         mesh=self.mesh)
         base_rng = jax.random.key(cfg.seed + 1)
 
         checkpointer = ckpt.BestCheckpointer(cfg.save_dir)
@@ -310,6 +317,10 @@ class Trainer:
             ad = float(np.mean([np.asarray(o["ad_loss"]) for o in outs]))
             logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
             labels = np.concatenate([np.asarray(o["label"]) for o in outs])
+            if "mask" in outs[0]:  # drop padded duplicates from metrics
+                valid = np.concatenate(
+                    [np.asarray(o["mask"]) for o in outs]) > 0
+                logits, labels = logits[valid], labels[valid]
             acc = float((logits.argmax(-1) == labels).mean())
             lr = float(self.lr_schedule(int(self.state.step) - 1))
             n_samples = labels.shape[0]
@@ -329,6 +340,8 @@ class Trainer:
             if self.adversarial:
                 d_mri = np.concatenate([np.asarray(o["d_mri"]) for o in outs])
                 d_pet = np.concatenate([np.asarray(o["d_pet"]) for o in outs])
+                if "mask" in outs[0]:
+                    d_mri, d_pet = d_mri[valid], d_pet[valid]
                 mri_acc = float((d_mri.argmax(-1) == 1).mean())
                 pet_acc = float((d_pet.argmax(-1) == 0).mean())
                 msg += f"MRIaccuracy: {mri_acc:.4f} PETaccuracy: {pet_acc:.4f} "
@@ -356,10 +369,17 @@ class Trainer:
 
         # Production feed: H2D transfers run `depth` steps ahead of compute
         # (double-buffered; sharded over the mesh's data axis when present).
+        # Ragged batches (variants without drop_last) are duplicate-padded
+        # to ONE fixed, mesh-divisible shape with a loss mask: a single
+        # train-step compile per fold, and a batch jax.shard_map can shard.
         from ..data.pipeline import DeviceFeed
 
+        n_data = self._data_axis_size()
+        base = getattr(train_loader, "batch_size", None) or sample["label"].shape[0]
+        pad_to = -(-base // n_data) * n_data
         feed = (train_loader if isinstance(train_loader, DeviceFeed)
-                else DeviceFeed(train_loader, self._batch_sharding, depth=2))
+                else DeviceFeed(train_loader, self._batch_sharding, depth=2,
+                                pad_to=pad_to))
         trainer.run(feed, cfg.epochs, start_epoch=start_epoch)
 
         res_fold = None
