@@ -374,3 +374,31 @@ class TestBigEndianNifti:
         self._write_big_endian(p, vol)
         out = native_loader.decode(p, (5, 6, 4), normalize=False)
         np.testing.assert_allclose(out, vol, atol=1e-6)
+
+
+class TestPadBatch:
+    def test_duplicate_pad_and_mask(self):
+        from transmf_ad_tpu.data.pipeline import pad_batch
+
+        b = {
+            "MRI": np.arange(3 * 4).reshape(3, 4).astype(np.float32),
+            "label": np.array([0, 1, 1], np.int32),
+        }
+        out = pad_batch(b, 8)
+        assert out["MRI"].shape == (8, 4)
+        assert out["label"].shape == (8,)
+        # wrap-around duplicates of REAL samples, not zeros
+        np.testing.assert_array_equal(out["MRI"][3], b["MRI"][0])
+        np.testing.assert_array_equal(out["MRI"][7], b["MRI"][1])
+        np.testing.assert_array_equal(out["label"][3:6], b["label"])
+        np.testing.assert_array_equal(out["mask"],
+                                      [1, 1, 1, 0, 0, 0, 0, 0])
+
+    def test_full_batch_is_passthrough_with_mask(self):
+        from transmf_ad_tpu.data.pipeline import pad_batch
+
+        b = {"MRI": np.ones((4, 2), np.float32),
+             "label": np.zeros(4, np.int32)}
+        out = pad_batch(b, 4)
+        np.testing.assert_array_equal(out["MRI"], b["MRI"])
+        np.testing.assert_array_equal(out["mask"], np.ones(4))

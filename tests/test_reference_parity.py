@@ -469,3 +469,300 @@ class TestModelCNNAdParity:
         for a, b in ((j_logits, t_logits), (j_dmri, t_dmri), (j_dpet, t_dpet)):
             np.testing.assert_allclose(np.asarray(a), b.numpy(),
                                        atol=2e-4, rtol=1e-3)
+
+
+class TestModelCNNParity:
+    def test_eval_logits_match_reference(self, rng):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+
+        sys.path.insert(0, REFERENCE)
+        from models.mymodel import model_CNN
+
+        dim = 16
+        ours = build_model("cnn", dim=dim, use_pallas=False,
+                           precision="highest")
+        mri = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        pet = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        variables = ours.init(jax.random.key(5),
+                              jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        theirs = model_CNN(dim=dim)
+        theirs.eval()
+        with torch.no_grad():
+            _load_snet(theirs.mri_cnn, params["mri_cnn"], stats["mri_cnn"])
+            _load_snet(theirs.pet_cnn, params["pet_cnn"], stats["pet_cnn"])
+            fc = params["fc"]
+            _to_torch_linear(theirs.fc[0], fc["Dense_0"]["kernel"],
+                             fc["Dense_0"]["bias"])
+            _to_torch_linear(theirs.fc[2], fc["Dense_1"]["kernel"],
+                             fc["Dense_1"]["bias"])
+            t_logits = theirs(torch.from_numpy(mri).unsqueeze(1),
+                              torch.from_numpy(pet).unsqueeze(1))
+
+        j_logits = ours.apply(variables, jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]), train=False)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+class TestModelTransformerParity:
+    def test_eval_logits_match_reference(self, rng):
+        """model_transformer (reference: models/mymodel.py:69-98): dual
+        sNets -> CrossTransformer_MOD_AVG fusion -> BN'd 4*dim head."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+
+        sys.path.insert(0, REFERENCE)
+        from models.mymodel import model_transformer
+
+        ours = build_model("transformer", dim=DIM, depth=DEPTH, heads=HEADS,
+                           use_pallas=False, precision="highest")
+        mri = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        pet = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        variables = ours.init(jax.random.key(6),
+                              jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        theirs = model_transformer(dim=DIM, depth=DEPTH, heads=HEADS,
+                                   dim_head=DIM // HEADS, mlp_dim=DIM * 4,
+                                   dropout=0)
+        theirs.eval()
+        with torch.no_grad():
+            _load_snet(theirs.mri_cnn, params["mri_cnn"], stats["mri_cnn"])
+            _load_snet(theirs.pet_cnn, params["pet_cnn"], stats["pet_cnn"])
+            ft = theirs.fuse_transformer
+            _load_transformer(ft.layers[0][0], params["fuse_transformer"],
+                              stats.get("fuse_transformer", {}),
+                              "Transformer_0")
+            _load_transformer(ft.layers[0][1], params["fuse_transformer"],
+                              stats.get("fuse_transformer", {}),
+                              "Transformer_1")
+            fc, fcs = params["fc_cls"], stats["fc_cls"]
+            _to_torch_linear(theirs.fc_cls[0], fc["Dense_0"]["kernel"],
+                             fc["Dense_0"]["bias"])
+            _to_torch_bn(theirs.fc_cls[1], fc["BatchNorm_0"],
+                         fcs["BatchNorm_0"])
+            _to_torch_linear(theirs.fc_cls[4], fc["Dense_1"]["kernel"],
+                             fc["Dense_1"]["bias"])
+            _to_torch_bn(theirs.fc_cls[5], fc["BatchNorm_1"],
+                         fcs["BatchNorm_1"])
+            _to_torch_linear(theirs.fc_cls[8], fc["Dense_2"]["kernel"],
+                             fc["Dense_2"]["bias"])
+            t_logits = theirs(torch.from_numpy(mri).unsqueeze(1),
+                              torch.from_numpy(pet).unsqueeze(1))
+
+        j_logits = ours.apply(variables, jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]), train=False)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+class TestModelTransformerResParity:
+    def test_eval_logits_match_reference(self, rng):
+        """model_transformer_res (reference: models/mymodel.py:101-141):
+        joint-context CrossTransformer, outer residual, GAP-only concat
+        (the reference's gmp branch is dead code), BN-free 2*dim head."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+
+        sys.path.insert(0, REFERENCE)
+        from models.mymodel import model_transformer_res
+
+        ours = build_model("transformer_res", dim=DIM, depth=DEPTH,
+                           heads=HEADS, use_pallas=False, precision="highest")
+        mri = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        pet = rng.standard_normal((2, *SHAPE)).astype(np.float32)
+        variables = ours.init(jax.random.key(7),
+                              jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]))
+        params, stats = variables["params"], variables["batch_stats"]
+
+        theirs = model_transformer_res(dim=DIM, depth=DEPTH, heads=HEADS,
+                                       dim_head=DIM // HEADS, mlp_dim=DIM * 4,
+                                       dropout=0)
+        theirs.eval()
+        with torch.no_grad():
+            _load_snet(theirs.mri_cnn, params["mri_cnn"], stats["mri_cnn"])
+            _load_snet(theirs.pet_cnn, params["pet_cnn"], stats["pet_cnn"])
+            # CrossTransformer share=False: per depth-layer a [mri, pet]
+            # pair of 1-layer Transformers (ours: Transformer_{2i,2i+1})
+            for i, pair in enumerate(theirs.fuse_transformer.layers):
+                _load_transformer(pair[0], params["fuse_transformer"],
+                                  stats.get("fuse_transformer", {}),
+                                  f"Transformer_{2 * i}")
+                _load_transformer(pair[1], params["fuse_transformer"],
+                                  stats.get("fuse_transformer", {}),
+                                  f"Transformer_{2 * i + 1}")
+            fc = params["fc_cls"]
+            _to_torch_linear(theirs.fc_cls[0], fc["Dense_0"]["kernel"],
+                             fc["Dense_0"]["bias"])
+            _to_torch_linear(theirs.fc_cls[3], fc["Dense_1"]["kernel"],
+                             fc["Dense_1"]["bias"])
+            _to_torch_linear(theirs.fc_cls[6], fc["Dense_2"]["kernel"],
+                             fc["Dense_2"]["bias"])
+            t_logits = theirs(torch.from_numpy(mri).unsqueeze(1),
+                              torch.from_numpy(pet).unsqueeze(1))
+
+        j_logits = ours.apply(variables, jnp.asarray(mri[..., None]),
+                              jnp.asarray(pet[..., None]), train=False)
+        np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+class TestViTEncoderVsVitPytorch:
+    """Cross-check C11's ViT encoder internals against vit_pytorch 1.7.4
+    (the version the reference pins in requirements.txt). The package is
+    not installed in this image, so its encoder is re-built here in torch
+    following the published 1.7.4 architecture exactly: patchify
+    Rearrange('b c (h p1) (w p2) -> b (h w) (p1 p2 c)') -> LN -> Linear ->
+    LN, randn cls/pos, emb dropout, transformer blocks whose Attention
+    (in-module pre-LN, FUSED to_qkv without bias, softmax(q k^T * scale))
+    and FeedForward (in-module pre-LN, exact GELU) carry residuals, and a
+    final LayerNorm; CLS latent out. This pins patchify order, pre-LN
+    placement, qkv fusion layout and CLS handling — the internals the
+    hand-built reference twin (TestADVITParity) could not isolate."""
+
+    def test_cls_latent_matches_vit_pytorch_architecture(self, rng):
+        import torch
+        import torch.nn as tnn
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import ViTEncoder
+
+        H = W = 32
+        DIM_V, DEPTH_V, HEADS_V, MLP = 48, 2, 3, 96
+        PATCH = 16
+        dim_head = DIM_V // HEADS_V
+
+        ours = ViTEncoder(image_size=H, patch_size=PATCH, dim=DIM_V,
+                          depth=DEPTH_V, heads=HEADS_V, mlp_dim=MLP,
+                          dropout=0.0, emb_dropout=0.0, use_pallas=False,
+                          precision="highest")
+        img = rng.standard_normal((2, H, W, 1)).astype(np.float32)
+        variables = ours.init(jax.random.key(8), jnp.asarray(img))
+        p = variables["params"]
+
+        class VPAttention(tnn.Module):  # vit_pytorch 1.7.4 Attention
+            def __init__(self):
+                super().__init__()
+                inner = HEADS_V * dim_head
+                self.norm = tnn.LayerNorm(DIM_V)
+                self.to_qkv = tnn.Linear(DIM_V, inner * 3, bias=False)
+                self.to_out = tnn.Linear(inner, DIM_V)
+                self.scale = dim_head ** -0.5
+
+            def forward(self, x):
+                b, n, _ = x.shape
+                x = self.norm(x)
+                qkv = self.to_qkv(x).chunk(3, dim=-1)
+                q, k, v = (t.reshape(b, n, HEADS_V, dim_head).transpose(1, 2)
+                           for t in qkv)
+                dots = torch.matmul(q, k.transpose(-1, -2)) * self.scale
+                attn = dots.softmax(dim=-1)
+                out = torch.matmul(attn, v).transpose(1, 2).reshape(b, n, -1)
+                return self.to_out(out)
+
+        class VPFeedForward(tnn.Module):  # vit_pytorch 1.7.4 FeedForward
+            def __init__(self):
+                super().__init__()
+                self.net = tnn.Sequential(
+                    tnn.LayerNorm(DIM_V), tnn.Linear(DIM_V, MLP), tnn.GELU(),
+                    tnn.Dropout(0.0), tnn.Linear(MLP, DIM_V), tnn.Dropout(0.0))
+
+            def forward(self, x):
+                return self.net(x)
+
+        class VPEncoder(tnn.Module):  # vit_pytorch 1.7.4 ViT minus mlp_head
+            def __init__(self):
+                super().__init__()
+                n_patches = (H // PATCH) * (W // PATCH)
+                patch_dim = PATCH * PATCH
+                self.patch_norm_in = tnn.LayerNorm(patch_dim)
+                self.patch_proj = tnn.Linear(patch_dim, DIM_V)
+                self.patch_norm_out = tnn.LayerNorm(DIM_V)
+                self.pos = tnn.Parameter(torch.zeros(1, n_patches + 1, DIM_V))
+                self.cls = tnn.Parameter(torch.zeros(1, 1, DIM_V))
+                self.layers = tnn.ModuleList(
+                    [tnn.ModuleList([VPAttention(), VPFeedForward()])
+                     for _ in range(DEPTH_V)])
+                self.final_norm = tnn.LayerNorm(DIM_V)
+
+            def forward(self, img):  # (B, 1, H, W) channels-first
+                b, c, h, w = img.shape
+                ph = PATCH
+                # Rearrange('b c (h p1) (w p2) -> b (h w) (p1 p2 c)')
+                x = img.reshape(b, c, h // ph, ph, w // ph, ph)
+                x = x.permute(0, 2, 4, 3, 5, 1).reshape(
+                    b, (h // ph) * (w // ph), ph * ph * c)
+                x = self.patch_norm_out(self.patch_proj(self.patch_norm_in(x)))
+                x = torch.cat([self.cls.expand(b, -1, -1), x], dim=1)
+                x = x + self.pos[:, : x.shape[1]]
+                for attn, ff in self.layers:
+                    x = attn(x) + x
+                    x = ff(x) + x
+                return self.final_norm(x)[:, 0]  # CLS latent
+
+        theirs = VPEncoder()
+        theirs.eval()
+        tr = p["Transformer_0"]
+        with torch.no_grad():
+            for ln, key in ((theirs.patch_norm_in, "LayerNorm_0"),
+                            (theirs.patch_norm_out, "LayerNorm_1"),
+                            (theirs.final_norm,
+                             f"LayerNorm_{2 * DEPTH_V}")):
+                src = p[key] if key in p else tr[key]
+                ln.weight.data = torch.from_numpy(
+                    np.asarray(src["scale"]).copy())
+                ln.bias.data = torch.from_numpy(
+                    np.asarray(src["bias"]).copy())
+            _to_torch_linear(theirs.patch_proj, p["Dense_0"]["kernel"],
+                             p["Dense_0"]["bias"])
+            theirs.cls.data = torch.from_numpy(
+                np.asarray(p["cls_token"]).copy())
+            theirs.pos.data = torch.from_numpy(
+                np.asarray(p["pos_embedding"]).copy())
+            for i, (attn, ff) in enumerate(theirs.layers):
+                a = tr[f"Attention_{i}"]
+                # our split to_q/to_kv maps onto the fused to_qkv rows
+                qkv = np.concatenate(
+                    [np.asarray(a["to_q"]["kernel"]),
+                     np.asarray(a["to_kv"]["kernel"])], axis=1)
+                _to_torch_linear(attn.to_qkv, qkv)
+                _to_torch_linear(attn.to_out, a["to_out"]["kernel"],
+                                 a["to_out"]["bias"])
+                for ln, key in ((attn.norm, f"LayerNorm_{2 * i}"),
+                                (ff.net[0], f"LayerNorm_{2 * i + 1}")):
+                    ln.weight.data = torch.from_numpy(
+                        np.asarray(tr[key]["scale"]).copy())
+                    ln.bias.data = torch.from_numpy(
+                        np.asarray(tr[key]["bias"]).copy())
+                f = tr[f"FeedForward_{i}"]
+                _to_torch_linear(ff.net[1], f["Dense_0"]["kernel"],
+                                 f["Dense_0"]["bias"])
+                _to_torch_linear(ff.net[4], f["Dense_1"]["kernel"],
+                                 f["Dense_1"]["bias"])
+
+            t_lat = theirs(torch.from_numpy(
+                img.transpose(0, 3, 1, 2).copy()))
+
+        j_lat = ours.apply(variables, jnp.asarray(img), train=False)
+        np.testing.assert_allclose(np.asarray(j_lat), t_lat.numpy(),
+                                   atol=2e-4, rtol=1e-3)

@@ -237,3 +237,38 @@ class TestSteps:
             float(ms_ref.loss_sum), rel=1e-6)
         np.testing.assert_allclose(np.asarray(ms_pad.confusion),
                                    np.asarray(ms_ref.confusion))
+
+
+class TestProgressBar:
+    def test_non_tty_logs_periodic_lines(self):
+        import io
+
+        from transmf_ad_tpu.train.engine import Engine
+        from transmf_ad_tpu.utils.progress import ProgressBar
+
+        buf = io.StringIO()  # not a tty -> plain periodic lines
+        eng = Engine(lambda e, b: b)
+        ProgressBar(file=buf, log_every=2).attach(eng, total=5)
+        eng.run(range(5), max_epochs=1)
+        out = buf.getvalue()
+        assert "Epoch [1/1] iteration 2/5" in out
+        assert "iteration 4/5" in out
+        assert "iteration 5/5" in out  # final iteration always logged
+
+    def test_tty_draws_and_persists_bar(self):
+        import io
+
+        from transmf_ad_tpu.train.engine import Engine
+        from transmf_ad_tpu.utils.progress import ProgressBar
+
+        class Tty(io.StringIO):
+            def isatty(self):
+                return True
+
+        buf = Tty()
+        eng = Engine(lambda e, b: b)
+        ProgressBar(file=buf, min_interval=0.0).attach(eng, total=3)
+        eng.run(range(3), max_epochs=2)
+        out = buf.getvalue()
+        assert "\r" in out and "[3/3]" in out and "100%" in out
+        assert out.count("\n") == 2  # persist=True: one kept line per epoch

@@ -65,6 +65,7 @@ class TrainerConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     profile_steps: tuple = (10, 15)  # (start, stop) step of the trace
     debug_nans: bool = False
+    progress: bool = True  # per-iteration progress bar (ignite parity)
 
 
 def _enable_compile_cache():
@@ -303,6 +304,15 @@ class Trainer:
             return aux
 
         trainer = Engine(step_fn)
+
+        if cfg.progress:
+            # per-iteration progress (ignite ProgressBar parity,
+            # reference: kfold_train_adversarial.py:139); counts async
+            # dispatches — it never syncs the device mid-epoch
+            from ..utils.progress import ProgressBar
+
+            ProgressBar(persist=True).attach(
+                trainer, total=max(1, len(train_loader)))
 
         @trainer.on(Events.EPOCH_COMPLETED)
         def log_train(engine):
