@@ -534,7 +534,7 @@ class TestChannelStats:
 
         # stats_profitable needs >=2^18 elements: (2,16,16,16,32) = 2^18
         x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 8)), jnp.float32)
-        m_on = ConvBNAct(32, use_stem_kernel=True)
+        m_on = ConvBNAct(32, use_stem_kernel=True, body_stats=True)
         m_off = ConvBNAct(32, use_stem_kernel=False)
         v = m_on.init(jax.random.key(0), x, True)
         y_on, mut_on = m_on.apply(v, x, True, mutable=["batch_stats"])
@@ -547,3 +547,105 @@ class TestChannelStats:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestStemPoolFused:
+    """stem_pool_minmax (ops/stem_pool.py): the fully fused stage-1
+    forward (conv + stats + window max/min, no full-res HBM tensor) and
+    its two-kernel backward."""
+
+    CASES = [((2, 6, 8, 6), 4), ((1, 7, 9, 7), 4)]  # even + odd dims
+
+    def test_forward_parity_interpret(self, rng):
+        from transmf_ad_tpu.ops.stem_pool import (_sp_reference,
+                                                  stem_pool_minmax)
+
+        for shape, C in self.CASES:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.2,
+                            jnp.float32)
+            ref = _sp_reference(x, w)
+            got = stem_pool_minmax(x, w, True, True)
+            for name, a, b in zip(("ymax", "ymin", "st"), ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-4,
+                    err_msg=f"{shape} {name}")
+
+    def test_grad_parity_interpret(self, rng):
+        from transmf_ad_tpu.ops.stem_pool import (_sp_reference,
+                                                  stem_pool_minmax)
+
+        for shape, C in self.CASES:
+            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.2,
+                            jnp.float32)
+
+            def loss(fn):
+                def f(x, w):
+                    ymax, ymin, st = fn(x, w)
+                    return (jnp.sum(ymax ** 2) + jnp.sum(jnp.sin(ymin))
+                            + jnp.sum(jnp.cos(st * 0.1)))
+                return f
+
+            g1 = jax.grad(loss(lambda x, w: stem_pool_minmax(x, w, True, True)),
+                          argnums=(0, 1))(x, w)
+            g2 = jax.grad(loss(_sp_reference), argnums=(0, 1))(x, w)
+            for name, a, b in zip(("dx", "dw"), g2, g1):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+                    err_msg=f"{shape} {name}")
+
+    def test_convbnact_stem_path_matches_unfused(self, rng):
+        """ConvBNAct train forward via the fused stem+pool path must match
+        the pure-XLA path: outputs AND updated batch stats (the negative-
+        scale min-branch is exercised by forcing a negative gamma)."""
+        from transmf_ad_tpu.nn.blocks import ConvBNAct
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 10, 8, 1)), jnp.float32)
+        m_on = ConvBNAct(4, pool="max", use_stem_kernel=True)
+        m_off = ConvBNAct(4, pool="max", use_stem_kernel=False)
+        v = m_on.init(jax.random.key(0), x, True)
+        # flip one channel's gamma negative: selects the window-min branch
+        gamma = np.array(v["params"]["BatchNorm_0"]["scale"], copy=True)
+        gamma[0] = -abs(gamma[0])
+        v = {**v, "params": {**v["params"],
+                             "BatchNorm_0": {**v["params"]["BatchNorm_0"],
+                                             "scale": jnp.asarray(gamma)}}}
+
+        y_on, mut_on = m_on.apply(v, x, True, mutable=["batch_stats"])
+        y_off, mut_off = m_off.apply(v, x, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(mut_on["batch_stats"]),
+                        jax.tree_util.tree_leaves(mut_off["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_snet_train_grads_match_unfused(self, rng):
+        """Full SNet: gradients through the fused stage-1 equal the
+        unfused path's (everything downstream consumes the fused output)."""
+        from transmf_ad_tpu.nn.blocks import SNet
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)), jnp.float32)
+        m_on = SNet(dim=8, use_pallas=True)
+        m_off = SNet(dim=8, use_pallas=False)
+        v = m_on.init(jax.random.key(1), x, True)
+
+        def loss(m):
+            def f(params):
+                out, _ = m.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    x, True, mutable=["batch_stats"])
+                return jnp.sum(out ** 2)
+            return f
+
+        l1, g1 = jax.value_and_grad(loss(m_on))(v["params"])
+        l2, g2 = jax.value_and_grad(loss(m_off))(v["params"])
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves(g2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=jax.tree_util.keystr(path))

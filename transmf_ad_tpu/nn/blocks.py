@@ -48,6 +48,10 @@ class ConvBNAct(nn.Module):
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     axis_name: Optional[str] = None
     use_stem_kernel: Optional[bool] = None  # None => auto (TPU only)
+    body_stats: bool = False  # Pallas BN-stats for XLA body convs (A/B: off)
+    # one-kernel stage-1 (ops/stem_pool.py); None = on unless the
+    # TRANSMF_NO_STEM_POOL_FUSION env var is set (measurement A/B knob)
+    fuse_stem_pool: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,6 +84,34 @@ class ConvBNAct(nn.Module):
         # linear conv output; the bias folds into the BN affine below
         stats = None
         if use_stem and stem_ok:
+            fuse = self.fuse_stem_pool
+            if fuse is None:
+                import os
+
+                fuse = not os.environ.get("TRANSMF_NO_STEM_POOL_FUSION")
+            if train and self.pool == "max" and fuse:
+                # fully fused stage: conv + Σ/Σ² stats + window max/min in
+                # ONE kernel — the full-resolution tensor never exists in
+                # HBM. Max AND min ship because the BN affine sign is
+                # unknown pre-stats; the affine+activation then applies on
+                # the 16x-smaller pooled tensor (ops/stem_pool.py).
+                from ..ops.stem_pool import stem_pool_minmax
+
+                ymax, ymin, st = stem_pool_minmax(
+                    xd[..., 0], kd[:, :, :, 0, :])
+                Z = x.shape[3]
+                stc = st.reshape(2, Z, self.features).sum(axis=1)
+                n = int(np.prod(x.shape[:-1]))
+                scale, shift = ManualBN(
+                    momentum=self.bn_momentum, epsilon=1e-5,
+                    axis_name=self.axis_name, name="BatchNorm_0",
+                )(ymax, conv_bias=bias, train=True,
+                  stats=(stc[0], stc[1], n))
+                # pooled(act(s*y+b)) = act(s*max(y)+b) for s>=0 else
+                # act(s*min(y)+b): max/leaky are monotone, s per-channel
+                slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
+                ysel = jnp.where(scale >= 0, ymax, ymin)
+                return bn_affine_reference(ysel, scale, shift, slope)
             if train:
                 from ..ops.stem import stem_conv_stats
 
@@ -99,16 +131,15 @@ class ConvBNAct(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 precision=self.precision,
             )
-            # ...but their BN statistics don't: XLA's f32 convert_reduce
-            # materializes a y-minor f32 copy at ~50 GB/s; the Pallas
-            # bf16-read reduction runs at HBM bandwidth (ops/stats.py).
-            if train and self.precision is None:
+            # The Pallas BN-stats reduction (ops/stats.py) is OFF here by
+            # default: its full-step A/B LOST ~2.6 ms — the kernel's
+            # (b,X,Y,Z*C) view forces layout copies around the conv output
+            # that outweigh the convert_reduce it removes (profiled
+            # round 3, docs/PERFORMANCE.md).
+            if self.body_stats and train and self.precision is None:
                 from ..ops.stats import channel_stats, stats_profitable
 
-                use_k = self.use_stem_kernel
-                if use_k is None:
-                    use_k = jax.default_backend() == "tpu"
-                if use_k and stats_profitable(y):
+                if stats_profitable(y):
                     st2 = channel_stats(y)
                     n = int(np.prod(y.shape[:-1]))
                     stats = (st2[0], st2[1], n)
