@@ -72,11 +72,19 @@ def main():
         state, aux = step(state, batch, key)
     float(aux["loss"])  # full value fetch: reliable sync on all platforms
 
+    # BENCH_PROFILE_DIR: capture a device trace of the SAME cached
+    # executable the timing loop runs (profiling does not change the
+    # program, so this works even when the remote-compile helper is down)
+    prof = os.environ.get("BENCH_PROFILE_DIR")
+    if prof:
+        jax.profiler.start_trace(prof)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, aux = step(state, batch, key)
     float(aux["loss"])
     dt = (time.perf_counter() - t0) / ITERS
+    if prof:
+        jax.profiler.stop_trace()
 
     vols_per_sec = BATCH / dt
     base = _baseline_volumes_per_sec()

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TRANSMF_PROFILE_CACHE",
+                                 "/tmp/jax_test_cache"))
 
 from transmf_ad_tpu.data.transforms import AugmentConfig
 from transmf_ad_tpu.models import build_model

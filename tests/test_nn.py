@@ -602,7 +602,8 @@ class TestStemPoolFused:
         from transmf_ad_tpu.nn.blocks import ConvBNAct
 
         x = jnp.asarray(rng.standard_normal((2, 8, 10, 8, 1)), jnp.float32)
-        m_on = ConvBNAct(4, pool="max", use_stem_kernel=True)
+        m_on = ConvBNAct(4, pool="max", use_stem_kernel=True,
+                         fuse_stem_pool=True)
         m_off = ConvBNAct(4, pool="max", use_stem_kernel=False)
         v = m_on.init(jax.random.key(0), x, True)
         # flip one channel's gamma negative: selects the window-min branch
@@ -627,6 +628,8 @@ class TestStemPoolFused:
         from transmf_ad_tpu.nn.blocks import SNet
 
         x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)), jnp.float32)
+        import os
+
         m_on = SNet(dim=8, use_pallas=True)
         m_off = SNet(dim=8, use_pallas=False)
         v = m_on.init(jax.random.key(1), x, True)
@@ -639,7 +642,11 @@ class TestStemPoolFused:
                 return jnp.sum(out ** 2)
             return f
 
-        l1, g1 = jax.value_and_grad(loss(m_on))(v["params"])
+        os.environ["TRANSMF_STEM_POOL_FUSION"] = "1"  # fused stage-1 path
+        try:
+            l1, g1 = jax.value_and_grad(loss(m_on))(v["params"])
+        finally:
+            os.environ.pop("TRANSMF_STEM_POOL_FUSION", None)
         l2, g2 = jax.value_and_grad(loss(m_off))(v["params"])
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
         for (path, a), b in zip(

@@ -49,8 +49,9 @@ class ConvBNAct(nn.Module):
     axis_name: Optional[str] = None
     use_stem_kernel: Optional[bool] = None  # None => auto (TPU only)
     body_stats: bool = False  # Pallas BN-stats for XLA body convs (A/B: off)
-    # one-kernel stage-1 (ops/stem_pool.py); None = on unless the
-    # TRANSMF_NO_STEM_POOL_FUSION env var is set (measurement A/B knob)
+    # one-kernel stage-1 (ops/stem_pool.py); default OFF: the full-step
+    # A/B LOST ~12 ms (60.5 -> 72.5 ms/step) — see docs/PERFORMANCE.md.
+    # None = off unless the TRANSMF_STEM_POOL_FUSION env var is set.
     fuse_stem_pool: Optional[bool] = None
 
     @nn.compact
@@ -88,7 +89,7 @@ class ConvBNAct(nn.Module):
             if fuse is None:
                 import os
 
-                fuse = not os.environ.get("TRANSMF_NO_STEM_POOL_FUSION")
+                fuse = bool(os.environ.get("TRANSMF_STEM_POOL_FUSION"))
             if train and self.pool == "max" and fuse:
                 # fully fused stage: conv + Σ/Σ² stats + window max/min in
                 # ONE kernel — the full-resolution tensor never exists in
