@@ -203,7 +203,12 @@ class Trainer:
             ms = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self._replicated), ms)
         probs, labels, masks = [], [], []
-        for b in loader:
+        from ..utils.progress import iter_progress
+
+        it = iter_progress(loader, total=len(loader) if hasattr(
+            loader, "__len__") else None, label="Evaluating",
+            enabled=self.cfg.progress)
+        for b in it:
             if pad_to is None:
                 base = getattr(loader, "batch_size", None) or b["label"].shape[0]
                 pad_to = -(-max(base, b["label"].shape[0]) // n_data) * n_data

@@ -119,3 +119,29 @@ class ProgressBar:
         self.file.write(f"{self._prefix(engine)} iteration {self._count}"
                         f"{total} ({self._rate(now)})\n")
         self.file.flush()
+
+
+def iter_progress(iterable, total: Optional[int] = None,
+                  label: str = "Eval", file=None, enabled: bool = True):
+    """Wrap a plain iterable with the same TTY progress line (the
+    reference attaches ProgressBar to its evaluator engine too). Non-TTY
+    streams stay silent — eval epochs are short and already logged."""
+    if not enabled:
+        yield from iterable
+        return
+    f = file if file is not None else sys.stderr
+    tty = bool(getattr(f, "isatty", lambda: False)())
+    if not tty:
+        yield from iterable
+        return
+    t0 = time.perf_counter()
+    n = 0
+    for item in iterable:
+        n += 1
+        tot = f"/{total}" if total else ""
+        f.write(f"\r{label}: [{n}{tot}] "
+                f"({n / max(time.perf_counter() - t0, 1e-9):.2f} it/s)")
+        f.flush()
+        yield item
+    f.write("\r" + " " * 79 + "\r")
+    f.flush()
