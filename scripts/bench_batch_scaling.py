@@ -6,7 +6,7 @@ per-dispatch method; see docs/PERFORMANCE.md "Measurement discipline").
 Sweeps per-chip batch x remat on the full model_ad step and prints device
 ms/step + volumes/s. Usage:
     python scripts/bench_batch_scaling.py [batches...]   # default 4 8 16 32
-Env: TRANSMF_NO_STEM_POOL_FUSION=1 to A/B the fused stage-1 off.
+Env: TRANSMF_STEM_POOL_FUSION=1 to A/B the fused stage-1 on.
 """
 import os
 import sys
@@ -54,7 +54,7 @@ def measure(batch_size: int, remat: bool):
 
 def main():
     batches = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
-    fused = not os.environ.get("TRANSMF_NO_STEM_POOL_FUSION")
+    fused = bool(os.environ.get("TRANSMF_STEM_POOL_FUSION"))
     print(f"# stage-1 fusion: {'ON' if fused else 'OFF'}; "
           f"backend={jax.default_backend()}")
     print(f"{'batch':>6} {'remat':>6} {'ms/step':>9} {'vols/s':>8}")
