@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Batch-scaling of the production train step, slope-timed on device.
+"""Batch-scaling of the production train step.
 
 Replaces round 1's "flat at batch 16" claim (measured with the discredited
-per-dispatch method; see docs/PERFORMANCE.md "Measurement discipline").
-Sweeps per-chip batch x remat on the full model_ad step and prints device
-ms/step + volumes/s. Usage:
-    python scripts/bench_batch_scaling.py [batches...]   # default 4 8 16 32
-Env: TRANSMF_STEM_POOL_FUSION=1 to A/B the fused stage-1 on.
+per-dispatch method on SMALL ops; see docs/PERFORMANCE.md "Measurement
+discipline"). Methodology here: one dispatch-loop measurement per
+(batch, remat) config — at full-step granularity (tens of ms) the tunnel
+dispatch overhead is a few percent — with an optional per-config device
+trace (BENCH_PROFILE_DIR=<dir>) whose `jit_step` total divided by
+iterations is the exact device ms/step. Slope timing was tried first but
+needs two full scan compiles per config (~hours through the tunnel).
+
+Usage:
+    python scripts/bench_batch_scaling.py [batch[:remat] ...]  # default:
+        8 16 16:remat 32:remat
+Env: TRANSMF_STEM_POOL_FUSION=1 to A/B the fused stage-1 on;
+     BENCH_PROFILE_DIR to also capture device traces (one subdir per cfg).
 """
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -17,9 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-
-from _timing import scan_slope_time_state  # noqa: E402
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from transmf_ad_tpu.data.transforms import AugmentConfig  # noqa: E402
 from transmf_ad_tpu.models import build_model  # noqa: E402
@@ -27,9 +35,10 @@ from transmf_ad_tpu.train.optim import build_optimizer  # noqa: E402
 from transmf_ad_tpu.train.steps import create_state, make_train_step  # noqa: E402
 
 SHAPE = (91, 109, 91)
+WARMUP, ITERS = 3, 10
 
 
-def measure(batch_size: int, remat: bool):
+def measure(batch_size: int, remat: bool, trace_dir=None):
     rng = np.random.default_rng(0)
     batch = {
         "MRI": jnp.asarray(rng.standard_normal((batch_size, *SHAPE)),
@@ -45,28 +54,42 @@ def measure(batch_size: int, remat: bool):
         model, tx, [batch["MRI"][..., None], batch["PET"][..., None]],
         jax.random.key(0))
     step = make_train_step(("MRI", "PET"), adversarial=True,
-                           aug_cfg=AugmentConfig(), donate=False)
+                           aug_cfg=AugmentConfig())
     key = jax.random.key(1)
-    return scan_slope_time_state(
-        lambda st, b: step(st, b, key), state, batch,
-        iters=max(4, 64 // batch_size))
+    for _ in range(WARMUP):
+        state, aux = step(state, batch, key)
+    float(aux["loss"])
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, aux = step(state, batch, key)
+    float(aux["loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+    if trace_dir:
+        jax.profiler.stop_trace()
+    return dt
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
+    specs = sys.argv[1:] or ["8", "16", "16:remat", "32:remat"]
+    prof = os.environ.get("BENCH_PROFILE_DIR")
     fused = bool(os.environ.get("TRANSMF_STEM_POOL_FUSION"))
     print(f"# stage-1 fusion: {'ON' if fused else 'OFF'}; "
-          f"backend={jax.default_backend()}")
+          f"backend={jax.default_backend()}; dispatch-loop ms/step "
+          f"(device truth: parse the trace when BENCH_PROFILE_DIR set)")
     print(f"{'batch':>6} {'remat':>6} {'ms/step':>9} {'vols/s':>8}")
-    for b in batches:
-        for remat in (False, True):
-            try:
-                dt = measure(b, remat)
-                print(f"{b:6d} {str(remat):>6} {dt * 1e3:9.2f} "
-                      f"{b / dt:8.1f}", flush=True)
-            except Exception as e:  # OOM at large batches is a result too
-                msg = str(e).split("\n")[0][:60]
-                print(f"{b:6d} {str(remat):>6}   FAILED: {msg}", flush=True)
+    for spec in specs:
+        parts = spec.split(":")
+        b, remat = int(parts[0]), "remat" in parts[1:]
+        tdir = os.path.join(prof, f"b{b}_remat{int(remat)}") if prof else None
+        try:
+            dt = measure(b, remat, tdir)
+            print(f"{b:6d} {str(remat):>6} {dt * 1e3:9.2f} {b / dt:8.1f}",
+                  flush=True)
+        except Exception as e:
+            msg = str(e).split("\n")[0][:70]
+            print(f"{b:6d} {str(remat):>6}   FAILED: {msg}", flush=True)
 
 
 if __name__ == "__main__":

@@ -154,7 +154,10 @@ def augment(vols, key: jax.Array, cfg: AugmentConfig = AugmentConfig()):
     )
 
     def one(vol):
-        # Skip the gather pass entirely when no augmentation triggered.
+        # Identity short-circuit. Real branch skipping only happens when
+        # called unbatched; under vmap (augment_batch) lax.cond lowers to a
+        # select, so both branches execute — the identity path there only
+        # buys exactness (no resample rounding), not time (~1 ms/step).
         return jax.lax.cond(
             identity,
             lambda v: v,
