@@ -656,3 +656,120 @@ class TestStemPoolFused:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
                 err_msg=jax.tree_util.keystr(path))
+
+
+class TestBcPoolFused:
+    """Conv-native-layout fused affine+act+pool
+    (ops/pool3d.py::max_pool3d_2x2_affine_act_bc): parity with the merged
+    kernel (identical tie-splitting) and the unfused reference, odd dims
+    included. The variant exists to remove full-resolution layout copies at
+    XLA-conv-fed stage ends (docs/PERFORMANCE.md round 3)."""
+
+    SHAPES = [(4, 10, 9, 11, 16), (3, 8, 27, 10, 8), (2, 12, 14, 13, 32)]
+
+    @staticmethod
+    def _ref(y, s, b, slope=0.01):
+        z = y.astype(jnp.float32) * s + b
+        z = jnp.where(z >= 0, z, slope * z).astype(y.dtype)
+        return jax.lax.reduce_window(
+            z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+            "VALID")
+
+    def test_forward_matches_reference_and_merged(self, rng):
+        from transmf_ad_tpu.ops.pool3d import (
+            max_pool3d_2x2_affine_act, max_pool3d_2x2_affine_act_bc)
+
+        for shape in self.SHAPES:
+            C, Z = shape[-1], shape[-2]
+            y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            s = jnp.asarray(rng.standard_normal(C) * 0.5 + 1, jnp.float32)
+            b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+            out = max_pool3d_2x2_affine_act_bc(y, s, b, 0.01, True, True)
+            np.testing.assert_array_equal(
+                np.asarray(out, np.float32),
+                np.asarray(self._ref(y, s, b), np.float32))
+            merged = max_pool3d_2x2_affine_act(
+                y, jnp.tile(s, Z), jnp.tile(b, Z), 0.01, True, True)
+            np.testing.assert_array_equal(
+                np.asarray(out, np.float32), np.asarray(merged, np.float32))
+
+    def test_grad_matches_merged_kernel(self, rng):
+        # the merged kernel shares the equal-tie-split subgradient, so dy
+        # must agree BITWISE; ds/db agree to f32 accumulation order
+        from transmf_ad_tpu.ops.pool3d import (
+            max_pool3d_2x2_affine_act, max_pool3d_2x2_affine_act_bc)
+
+        for shape in self.SHAPES:
+            C, Z = shape[-1], shape[-2]
+            y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            s = jnp.asarray(rng.standard_normal(C) * 0.5 + 1, jnp.float32)
+            b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+            g = jnp.asarray(rng.standard_normal(
+                (shape[0], shape[1] // 2, shape[2] // 2, shape[3] // 2, C)),
+                jnp.float32)
+
+            def f_bc(y, s, b):
+                out = max_pool3d_2x2_affine_act_bc(y, s, b, 0.01, True, True)
+                return jnp.vdot(out.astype(jnp.float32), g)
+
+            def f_m(y, sl, bl):
+                out = max_pool3d_2x2_affine_act(y, sl, bl, 0.01, True, True)
+                return jnp.vdot(out.astype(jnp.float32), g)
+
+            dy, ds, db = jax.grad(f_bc, argnums=(0, 1, 2))(y, s, b)
+            dym, dsl, dbl = jax.grad(f_m, argnums=(0, 1, 2))(
+                y, jnp.tile(s, Z), jnp.tile(b, Z))
+            np.testing.assert_array_equal(
+                np.asarray(dy, np.float32), np.asarray(dym, np.float32))
+            np.testing.assert_allclose(
+                np.asarray(ds), np.asarray(dsl.reshape(Z, C).sum(0)),
+                rtol=2e-2, atol=1e-2)
+            np.testing.assert_allclose(
+                np.asarray(db), np.asarray(dbl.reshape(Z, C).sum(0)),
+                rtol=2e-2, atol=1e-2)
+
+    def test_grad_sum_conservation_on_ties(self):
+        # constant input: every window is an 8-way tie; gradient mass must
+        # be preserved and split equally, never NaN
+        from transmf_ad_tpu.ops.pool3d import max_pool3d_2x2_affine_act_bc
+
+        y = jnp.ones((2, 4, 6, 4, 8), jnp.float32)
+        s = jnp.ones((8,), jnp.float32)
+        b = jnp.zeros((8,), jnp.float32)
+        dy = jax.grad(lambda v: jnp.sum(
+            max_pool3d_2x2_affine_act_bc(v, s, b, 0.01, True, True)))(y)
+        assert bool(jnp.all(jnp.isfinite(dy)))
+        assert float(jnp.sum(dy)) == pytest.approx(2 * 2 * 3 * 2 * 8)
+        assert float(jnp.max(dy)) == pytest.approx(0.125)
+
+    def test_convbnact_bc_matches_merged_path(self, rng):
+        # full ConvBNAct stage end: bc kernel vs merged kernel via the env
+        # A/B knob — same loss, same gradients
+        import os
+
+        from transmf_ad_tpu.nn.blocks import ConvBNAct
+
+        x = jnp.asarray(rng.standard_normal((2, 10, 12, 10, 4)), jnp.float32)
+        m = ConvBNAct(8, pool="max", use_stem_kernel=True)
+        v = m.init(jax.random.key(0), x, True)
+
+        def loss(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        l_bc, g_bc = jax.value_and_grad(loss)(v["params"])
+        os.environ["TRANSMF_NO_BC_POOL"] = "1"
+        try:
+            l_m, g_m = jax.value_and_grad(loss)(v["params"])
+        finally:
+            os.environ.pop("TRANSMF_NO_BC_POOL", None)
+        np.testing.assert_allclose(float(l_bc), float(l_m), rtol=1e-5)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_bc),
+            jax.tree_util.tree_leaves(g_m),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                err_msg=jax.tree_util.keystr(path))

@@ -152,7 +152,21 @@ class ConvBNAct(nn.Module):
         slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
 
         if self.pool == "max" and y.ndim == 5:
+            import os
+
+            from ..ops.pool3d import max_pool3d_2x2_affine_act_bc
+
             Z, C = y.shape[-2], y.shape[-1]
+            # XLA-conv-fed stage ends use the conv-native-layout kernel: the
+            # conv output enters (and the pooled result leaves) through free
+            # layout bitcasts instead of full-resolution copy+reshape chains
+            # (~1.3 ms/modality at s2 — docs/PERFORMANCE.md round 3). The
+            # stem path keeps the merged kernel: the stem Pallas kernel
+            # already emits the dense merged layout the pool wants.
+            body_conv = not (use_stem and stem_ok)
+            if body_conv and not os.environ.get("TRANSMF_NO_BC_POOL"):
+                return max_pool3d_2x2_affine_act_bc(
+                    y, scale, shift, slope, self.use_stem_kernel)
             s_lanes = jnp.tile(scale, Z)
             b_lanes = jnp.tile(shift, Z)
             return max_pool3d_2x2_affine_act(

@@ -502,3 +502,239 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
 
 
 max_pool3d_2x2_affine_act.defvjp(_mpa_fwd, _mpa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Conv-native-layout fused affine + LeakyReLU + 2x2x2 max pool ("bc" variant)
+#
+# XLA's TPU convolutions emit NDHWC tensors in layout {4,0,3,2,1} — i.e.
+# physically [X, Y, Z, B, C] row-major with (B=8 sublanes, C lanes) tiles.
+# The merged-view kernel above demands [B, X, Y, Z*C] row-major instead, so
+# at every XLA-conv-fed stage end the compiler inserts full-resolution
+# copy+reshape chains to bridge the two (measured 1.3 ms/modality at the
+# s2 stage end, docs/PERFORMANCE.md round 3).
+#
+# This variant operates directly on the logical (X, Y, Z, B, C) transposed
+# VIEW of the conv output: the boundary `jnp.transpose` folds into a layout
+# bitcast (verified in the compiled HLO — zero full-res copy-class ops
+# between conv -> pool -> conv), the per-channel affine becomes a plain
+# (C,)-lane broadcast, and window pooling is reshape-split maxima over
+# OUTER dims (no lane shuffles at all). The pooled output, written as
+# (Xp, Yp, Zp, B, C) row-major, bitcasts back to the {4,0,3,2,1} layout the
+# NEXT conv wants. Relayout work, if any consumer still needs one, now
+# happens on the 8x-smaller pooled tensor.
+# ---------------------------------------------------------------------------
+
+
+def _ybc_dims(y):
+    b, X, Y, Z, C = y.shape
+    return b, X, Y, Z, C, X // 2, Y // 2, Z // 2
+
+
+def _yb_for(Y, Z, B, C, live_f32, budget=12 * 1024 * 1024):
+    """y-out rows per program, sized so `live_f32` simultaneously-live
+    f32 block-shaped vectors (the kernel's in-register working set) fit
+    `budget` of the 16 MB scoped VMEM. The trailing (B, C) dims are one
+    vector tile: C pads to full 128 lanes AND B to full 8 sublanes — at
+    small batch the padding, not the data, dominates (observed: batch-2
+    eval blocks cost 4x their nominal size and OOM'd scoped VMEM)."""
+    lane = max(C, 128)
+    sub = max(B, 8)
+    per_row = 2 * 2 * Z * sub * lane * 4 * live_f32  # one y-out row's live set
+    return max(1, min(Y // 2, budget // max(per_row, 1)))
+
+
+def _bc_fwd_kernel(t_ref, s_ref, b_ref, o_ref, *, Yp, Zp, B, C, slope):
+    x0 = t_ref[0].astype(jnp.float32)           # (2YB, Z, B, C)
+    x1 = t_ref[1].astype(jnp.float32)
+    s, bb = s_ref[0], b_ref[0]                  # (C,) f32, lane broadcast
+    z0 = x0 * s + bb
+    z1 = x1 * s + bb
+    z0 = jnp.where(z0 >= 0, z0, slope * z0).astype(t_ref.dtype)
+    z1 = jnp.where(z1 >= 0, z1, slope * z1).astype(t_ref.dtype)
+    a = jnp.maximum(z0, z1)                     # x-pair
+    yb2 = a.shape[0]
+    a = a.reshape(yb2 // 2, 2, *a.shape[1:]).max(axis=1)        # y-pairs
+    a = a[:, : 2 * Zp].reshape(a.shape[0], Zp, 2, B, C).max(axis=2)
+    o_ref[0] = a
+
+
+def _bc_bwd_kernel(t_ref, s_ref, b_ref, p_ref, g_ref, dx_ref, dsb_ref,
+                   *, Y, Yp, Z, Zp, B, C, Xp, YB, slope):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        dsb_ref[...] = jnp.zeros_like(dsb_ref)
+
+    @pl.when(i < Xp)
+    def _():
+        s, bb = s_ref[0], b_ref[0]
+        # valid-row mask: the odd-Y tail row and block-padding rows carry
+        # zero gradient; the mask is a WHERE (not a multiply) so padded-read
+        # garbage (possibly inf/NaN) can never leak through 0*garbage.
+        row = jax.lax.broadcasted_iota(jnp.int32, (2 * YB, 1, 1, 1), 0) \
+            + 2 * YB * j
+        yvalid = row < 2 * Yp                                  # (2YB,1,1,1)
+        # fwd-identical recompute (f32 affine, round through storage dtype)
+        pres, zs = [], []
+        for r in (0, 1):
+            pre = t_ref[r].astype(jnp.float32) * s + bb       # (2YB, Z, B, C)
+            z = jnp.where(pre >= 0, pre, slope * pre).astype(
+                t_ref.dtype).astype(jnp.float32)
+            pres.append(pre)
+            zs.append(z[:, : 2 * Zp])                          # (2YB,2Zp,B,C)
+        # pooled value broadcast back over the window: (YB,Zp,B,C) ->
+        # (2YB, 2Zp, B, C) via outer-dim broadcast+reshape (free in Mosaic)
+        p = p_ref[0].astype(jnp.float32)                       # (YB, Zp, B, C)
+        g = g_ref[0].astype(jnp.float32)
+        rep = jnp.broadcast_to(p[:, None, :, None], (YB, 2, Zp, 2, B, C))
+        rep = rep.reshape(2 * YB, 2 * Zp, B, C)
+        eqs = [(z == rep) for z in zs]                         # bool masks
+        cnt = functools.reduce(
+            jnp.add,
+            [e.astype(jnp.float32).reshape(YB, 2, Zp, 2, B, C).sum((1, 3))
+             for e in eqs])                                    # (YB,Zp,B,C)
+        gi = g / jnp.maximum(cnt, 1.0)
+        rep_g = jnp.broadcast_to(
+            gi[:, None, :, None], (YB, 2, Zp, 2, B, C)
+        ).reshape(2 * YB, 2 * Zp, B, C)
+        ztail = Z - 2 * Zp
+        ds_acc = jnp.zeros((C,), jnp.float32)
+        db_acc = jnp.zeros((C,), jnp.float32)
+        for r in (0, 1):
+            dz = jnp.where(yvalid & eqs[r], rep_g, 0.0)        # (2YB,2Zp,B,C)
+            if ztail:
+                dz = jnp.concatenate(
+                    [dz, jnp.zeros((2 * YB, ztail, B, C), jnp.float32)],
+                    axis=1)                                    # (2YB, Z, B, C)
+            dpre = dz * jnp.where(pres[r] >= 0, 1.0, slope)
+            dx_ref[r] = (dpre * s).astype(dx_ref.dtype)
+            t = jnp.where(yvalid, t_ref[r].astype(jnp.float32), 0.0)
+            ds_acc += jnp.sum(dpre * t, axis=(0, 1, 2))
+            db_acc += jnp.sum(dpre, axis=(0, 1, 2))
+        dsb_ref[0] += ds_acc
+        dsb_ref[1] += db_acc
+
+    @pl.when(i >= Xp)
+    def _():
+        dx_ref[0] = jnp.zeros_like(dx_ref[0])
+        dx_ref[1] = jnp.zeros_like(dx_ref[1])
+
+
+def _fits_bc(y) -> bool:
+    b, X, Y, Z, C = y.shape
+    return b >= 1 and X >= 2 and Y >= 2 and Z >= 2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def max_pool3d_2x2_affine_act_bc(y, scale, shift, slope=0.01,
+                                 use_pallas=None, interpret=False):
+    """maxpool2x2x2(leaky_relu(y * scale + shift)) for XLA-conv-fed stages.
+
+    Same math as `max_pool3d_2x2_affine_act` but with per-channel (C,)
+    affine vectors and kernels that read/write the conv's native
+    batch-sublane/channel-lane layout via free transpose bitcasts (see the
+    section comment above). Numerically identical to the merged variant.
+    """
+    b, X, Y, Z, C, Xp, Yp, Zp = _ybc_dims(y)
+    if (not _use_pallas(y, use_pallas) and not interpret) or not _fits_bc(y):
+        z = y.astype(jnp.float32) * scale + shift
+        z = jnp.where(z >= 0, z, slope * z).astype(y.dtype)
+        return jax.lax.reduce_window(
+            z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+            "VALID")
+    interpret = auto_interpret(interpret)
+    t = jnp.transpose(y, (1, 2, 3, 0, 4))      # free layout bitcast
+    YB = _yb_for(Y, Z, b, C, live_f32=3)
+    ny = -(-Yp // YB)
+    out = pl.pallas_call(
+        functools.partial(_bc_fwd_kernel, Yp=Yp, Zp=Zp, B=b, C=C,
+                          slope=slope),
+        out_shape=out_struct((Xp, Yp, Zp, b, C), y.dtype, t),
+        grid=(Xp, ny),
+        in_specs=[
+            pl.BlockSpec((2, 2 * YB, Z, b, C),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, YB, Zp, b, C),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(t, scale.reshape(1, C).astype(jnp.float32),
+      shift.reshape(1, C).astype(jnp.float32))
+    return jnp.transpose(out, (3, 0, 1, 2, 4))  # free bitcast for next conv
+
+
+def _bca_fwd(y, scale, shift, slope, use_pallas, interpret):
+    p = max_pool3d_2x2_affine_act_bc(y, scale, shift, slope, use_pallas,
+                                     interpret)
+    return p, (y, scale, shift, p)
+
+
+def _bca_bwd(slope, use_pallas, interpret, res, g):
+    y, scale, shift, p = res
+    b, X, Y, Z, C, Xp, Yp, Zp = _ybc_dims(y)
+    if (not _use_pallas(y, use_pallas) and not interpret) or not _fits_bc(y):
+        def f(yy, ss, bb):
+            z = yy.astype(jnp.float32) * ss + bb
+            z = jnp.where(z >= 0, z, slope * z).astype(yy.dtype)
+            return jax.lax.reduce_window(
+                z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
+                "VALID")
+
+        _, vjp = jax.vjp(f, y, scale, shift)
+        dy, ds, db = vjp(g)
+        return dy, reduce_ct(ds, scale), reduce_ct(db, shift)
+    interpret = auto_interpret(interpret)
+    t = jnp.transpose(y, (1, 2, 3, 0, 4))
+    pt = jnp.transpose(p, (1, 2, 3, 0, 4))
+    gt = jnp.transpose(g.astype(y.dtype), (1, 2, 3, 0, 4))
+    YB = _yb_for(Y, Z, b, C, live_f32=7)
+    ny = -(-Yp // YB)
+    # dx must cover ALL Y rows (the odd tail row carries zero gradient but
+    # must still be written); input maps clamp to the last real y-block —
+    # the tail block's yvalid mask is all-False so it writes pure zeros.
+    ny_out = max(ny, -(-Y // (2 * YB)))
+    gx = X - 2 * Xp
+    dx, dsb = pl.pallas_call(
+        functools.partial(_bc_bwd_kernel, Y=Y, Yp=Yp, Z=Z, Zp=Zp, B=b, C=C,
+                          Xp=Xp, YB=YB, slope=slope),
+        out_shape=[out_struct((X, Y, Z, b, C), y.dtype, t, gt),
+                   out_struct((2, C), jnp.float32, t, gt)],
+        grid=(Xp + gx, ny_out),
+        in_specs=[
+            pl.BlockSpec((2, 2 * YB, Z, b, C),
+                         lambda i, j: (i, jnp.minimum(j, ny - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, YB, Zp, b, C),
+                         lambda i, j: (jnp.minimum(i, Xp - 1),
+                                       jnp.minimum(j, ny - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, YB, Zp, b, C),
+                         lambda i, j: (jnp.minimum(i, Xp - 1),
+                                       jnp.minimum(j, ny - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, 2 * YB, Z, b, C),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(t, scale.reshape(1, C).astype(jnp.float32),
+      shift.reshape(1, C).astype(jnp.float32), pt, gt)
+    dy = jnp.transpose(dx, (3, 0, 1, 2, 4))
+    return dy, reduce_ct(dsb[0], scale), reduce_ct(dsb[1], shift)
+
+
+max_pool3d_2x2_affine_act_bc.defvjp(_bca_fwd, _bca_bwd)
