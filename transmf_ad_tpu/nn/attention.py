@@ -3,11 +3,12 @@
 Behavioral spec follows the reference's pre-LN ViT-style stack
 (reference: models/networks.py:114-281), built TPU-first: QKV projections are
 single fused matmuls feeding the MXU, and the attention core routes through
-`transmf_ad_tpu.ops.attention_core`, which dispatches to a fused Pallas
-attention kernel on TPU (query-blocked with full K/V resident in VMEM — a
-single-pass softmax, sized for this model's token counts up to the 1,573-token
-full-resolution grid; NOT an online-softmax flash kernel) with a pure-jnp
-fallback elsewhere.
+`transmf_ad_tpu.ops.attention_core`, which dispatches to fused Pallas
+attention kernels on TPU — a single-pass kernel (query-blocked, full K/V
+resident in VMEM) for this model's native token counts up to the
+1,573-token full-resolution grid, and a KV-blocked online-softmax flash
+kernel with a Pallas backward beyond ~2k keys (finer patchings / larger
+volumes) — with a pure-jnp fallback elsewhere.
 """
 
 from __future__ import annotations

@@ -12,7 +12,12 @@ from typing import Optional
 import jax
 
 from ._common import auto_interpret  # noqa: F401
-from .flash_attention import attention_reference, fused_attention  # noqa: F401
+from .flash_attention import (  # noqa: F401
+    FLASH_MIN_KEYS,
+    attention_reference,
+    flash_attention,
+    fused_attention,
+)
 
 
 def _on_tpu() -> bool:
@@ -22,11 +27,16 @@ def _on_tpu() -> bool:
 def attention_core(q, k, v, scale: float, use_pallas: Optional[bool] = None):
     """softmax(q k^T * scale) v for (B, H, N, D) q and (B, H, M, D) k/v.
 
-    use_pallas: True forces the Pallas kernel (interpret mode off-TPU),
-    False forces plain XLA, None auto-selects (Pallas on TPU).
+    use_pallas: True forces the Pallas kernels (interpret mode off-TPU),
+    False forces plain XLA, None auto-selects (Pallas on TPU). Above
+    `FLASH_MIN_KEYS` keys the KV-blocked online-softmax flash kernel is
+    used; below it the single-pass kernel (full K/V in VMEM) wins.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
+        if k.shape[2] > FLASH_MIN_KEYS:
+            return flash_attention(q, k, v, scale, 512, 512,
+                                   auto_interpret(False))
         return fused_attention(q, k, v, scale, auto_interpret(False))
     return attention_reference(q, k, v, scale)
