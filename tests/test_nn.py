@@ -322,6 +322,32 @@ class TestStemKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-3)
 
+    def test_stem_fits_vmem_gate(self):
+        # reference geometries fit the banded kernels' scoped VMEM;
+        # full-resolution volumes must route to the XLA conv fallback
+        from transmf_ad_tpu.ops.stem import stem_fits
+
+        assert stem_fits((91, 109, 91), 32)     # flagship
+        assert stem_fits((24, 28, 24), 16)      # test fixtures
+        assert not stem_fits((182, 218, 182), 32)   # full resolution
+        assert not stem_fits((128, 128, 128), 32)   # dw T-band too large
+
+    def test_convbnact_over_budget_shape_falls_back(self, rng):
+        # a shape failing stem_fits must run (via XLA conv) and match the
+        # explicit XLA path even with use_stem_kernel=True
+        from transmf_ad_tpu.ops.stem import stem_fits
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 128, 1)), jnp.float32)
+        assert not stem_fits((6, 6, 128), 32)
+        blk_k = tnn.ConvBNAct(32, use_stem_kernel=True)
+        blk_x = tnn.ConvBNAct(32, use_stem_kernel=False)
+        v = blk_k.init(jax.random.key(0), x, True)
+        for train in (True, False):
+            a, _ = blk_k.apply(v, x, train, mutable=["batch_stats"])
+            b, _ = blk_x.apply(v, x, train, mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_convbnact_stem_path_matches_xla_path(self, rng):
         # same params, stem kernel (interpret) vs plain conv path
         from transmf_ad_tpu.ops import stem as stem_mod

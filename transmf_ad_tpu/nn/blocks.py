@@ -72,12 +72,18 @@ class ConvBNAct(nn.Module):
         dt = self.dtype or x.dtype
         xd, kd = x.astype(dt), kernel.astype(dt)
 
+        from ..ops.stem import stem_fits
+
         stem_ok = (
             cin == 1
             and self.kernel == (3, 3, 3)
             and self.strides == (1, 1, 1)
             and self.padding == "SAME"
             and self.precision is None
+            # full-resolution volumes overflow the banded kernels' scoped
+            # VMEM; they take the XLA conv + conv-native-layout pool path
+            and stem_fits(x.shape[1:4], self.features,
+                          jnp.dtype(dt).itemsize)
         )
         use_stem = self.use_stem_kernel
         if use_stem is None:

@@ -53,6 +53,26 @@ def _build_band(w, Z: int):
     return r.reshape(9 * (Z + 2), Z * C)
 
 
+def stem_fits(spatial, C, itemsize=2, budget=14 * 1024 * 1024):
+    """Conservative scoped-VMEM estimate for the banded stem kernels.
+
+    Each forward program holds the whole padded volume block, the full
+    (9*(Z+2), Z*C) band, the lhs scratch and an f32 accumulator row; the
+    dw backward holds the f32 band-shaped T accumulator plus y/gy rows.
+    Sized for the reference geometries (91x109x91 -> ~12 MB worst case);
+    full-resolution 182^3 needs ~65 MB and must fall back to the XLA conv
+    (whose stage end still uses the conv-native-layout Pallas pool).
+    A winning full-res stem kernel would need Z-blocked bands —
+    unimplemented (docs/PERFORMANCE.md)."""
+    X, Y, Z = spatial
+    band = 9 * (Z + 2) * Z * C * itemsize
+    fwd = ((X + 2) * (Y + 2) * (Z + 2) * itemsize + band
+           + Y * 9 * (Z + 2) * itemsize + Y * Z * C * (4 + itemsize))
+    bwd = (9 * (Z + 2) * Z * C * 4 + 2 * Y * Z * C * itemsize
+           + Y * 9 * (Z + 2) * 4)
+    return max(fwd, bwd) <= budget
+
+
 def _stem_kernel(x_ref, r_ref, o_ref, lhs_ref, *, Y, Z, C):
     """Grid (B, X). x_ref: (1, X+2, Y+2, Z+2) padded volume, block cached
     across rows; r_ref: (9*(Z+2), C*Z) band; o_ref: (1, 1, Y, C*Z)."""
