@@ -253,6 +253,39 @@ class TestShardMapKernels:
                                    np.asarray(out2["probs"]),
                                    atol=1e-6, rtol=1e-5)
 
+    def test_flash_attention_under_shard_map(self, rng):
+        """The long-sequence flash kernel (fwd + its two Pallas bwd
+        kernels) composes with a manual data axis: batch rows are
+        independent, so per-shard results must equal unsharded exactly
+        (same kernel, same per-row blocks)."""
+        from jax.sharding import PartitionSpec as P
+
+        from transmf_ad_tpu.ops.flash_attention import flash_attention
+
+        b, h, n, d = 8, 2, 320, 32
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        scale = d**-0.5
+
+        def att(q, k, v):
+            return flash_attention(q, k, v, scale, 128, 128, True)
+
+        mesh = make_mesh({"data": 4})
+        sharded = jax.shard_map(
+            att, mesh=mesh, in_specs=(P("data"),) * 3, out_specs=P("data"),
+            check_vma=False)
+
+        def loss(f, q, k, v):
+            return jnp.sum(f(q, k, v) ** 2)
+
+        l1, g1 = jax.value_and_grad(loss, argnums=(1, 2, 3))(att, q, k, v)
+        l2, g2 = jax.value_and_grad(loss, argnums=(1, 2, 3))(sharded, q, k, v)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b_, name in zip(g1, g2, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-6, rtol=1e-5, err_msg=name)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
