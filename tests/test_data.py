@@ -286,6 +286,79 @@ class TestLoader:
         assert b["MRI"].shape == (2, 32, 32, 32)
 
 
+class TestTransferDtype:
+    """bfloat16 host cache/transfer (half the H2D bytes of float32)."""
+
+    def test_bf16_cache_and_stack(self, adni_root):
+        import jax.numpy as jnp
+
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict, dtype=jnp.bfloat16)
+        f32 = VolumeSource(ds.data_dict, dtype=np.float32)
+        b16 = next(iter(Loader(src, batch_size=3)))
+        b32 = next(iter(Loader(f32, batch_size=3)))
+        assert b16["MRI"].dtype == np.dtype(jnp.bfloat16)
+        assert b16["MRI"].nbytes * 2 == b32["MRI"].nbytes
+        # bfloat16 quantization of [0,1] intensities: <= 2^-9 relative
+        err = np.abs(b16["MRI"].astype(np.float32) - b32["MRI"])
+        assert err.max() <= 2.0 ** -9
+        # normalization itself ran in float32 (cast is the LAST host step)
+        assert b16["MRI"].astype(np.float32).max() <= 1.0
+        assert b16["label"].dtype == np.int32
+
+    def test_bf16_pad_batch_and_eval_pad(self, adni_root):
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.data.pipeline import pad_batch
+
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict, dtype=jnp.bfloat16)
+        b = next(iter(Loader(src, batch_size=3)))
+        out = pad_batch(b, 4)
+        assert out["MRI"].dtype == np.dtype(jnp.bfloat16)
+        assert out["MRI"].shape[0] == 4 and out["mask"].tolist() == [1, 1, 1, 0]
+
+    def test_bf16_feed_trains(self, adni_root, tmp_path):
+        """End-to-end: a bfloat16-compute model fed bfloat16 volumes takes a
+        finite train step whose logits track the float32-fed step."""
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+        from transmf_ad_tpu.train.optim import build_optimizer
+        from transmf_ad_tpu.train.steps import create_state, make_train_step
+
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict, dtype=jnp.bfloat16)
+        batch = next(iter(Loader(src, batch_size=2)))
+        model = build_model("single", dim=16, use_pallas=False,
+                            dtype=jnp.bfloat16)
+        tx, _ = build_optimizer("Adam", 1e-4, 0.0, 1)
+        inputs = [jnp.asarray(batch["MRI"][..., None])]
+        state = create_state(model, tx, inputs, jax.random.key(0))
+        step = make_train_step(("MRI",), adversarial=False, aug_cfg=None)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        new_state, aux = step(state, dev, jax.random.key(1))
+        assert np.isfinite(float(aux["ce_loss"]))
+        assert int(new_state.step) == 1
+
+    def test_transfer_dtype_resolution(self):
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.config import Options
+        from transmf_ad_tpu.train.kfold import transfer_dtype
+
+        opt = Options()
+        want = (np.dtype(jnp.bfloat16)
+                if jax.default_backend() == "tpu" else np.float32)
+        assert transfer_dtype(opt) == want
+        opt.dtype = "float32"
+        assert transfer_dtype(opt) == np.float32
+        opt.dtype = "bfloat16"
+        assert transfer_dtype(opt) == np.dtype(jnp.bfloat16)
+
+
 class TestNativeLoader:
     def test_native_matches_python(self, adni_root):
         from transmf_ad_tpu.data import native_loader

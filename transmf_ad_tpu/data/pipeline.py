@@ -38,7 +38,17 @@ def _minmax(vol: np.ndarray) -> np.ndarray:
 
 
 class VolumeSource:
-    """Decodes ADNI records to normalized float32 volumes, with a RAM cache."""
+    """Decodes ADNI records to normalized volumes, with a RAM cache.
+
+    `dtype` is the cache/transfer dtype. Decode and min-max normalization
+    always run in float32; the cast happens once at cache-fill time. With
+    `dtype=bfloat16` (the TPU compute dtype — see `train.trainer
+    .resolve_dtype`) the RAM cache and every host->device transfer are
+    HALF the bytes of float32, with no numerical cost to training: the
+    model casts activations to bfloat16 at the stem anyway, and device-
+    side augmentation resamples in float32 regardless of input dtype
+    (`transforms._affine_resample`).
+    """
 
     def __init__(
         self,
@@ -48,11 +58,13 @@ class VolumeSource:
         normalize: bool = True,
         cache: bool = True,
         use_native: Optional[bool] = None,
+        dtype=np.float32,
     ):
         self.records = list(records)
         self.keys = tuple(keys)
         self.pad_to = pad_to
         self.normalize = normalize
+        self.dtype = np.dtype(dtype)
         self._cache: Optional[List] = [None] * len(self.records) if cache else None
         self._lock = threading.Lock()
         if use_native is None:
@@ -73,13 +85,17 @@ class VolumeSource:
         vol = nifti.load(path, dtype=np.float32)
         return _minmax(vol) if self.normalize else vol
 
+    def _finalize(self, vol: np.ndarray) -> np.ndarray:
+        if self.pad_to is not None:
+            vol = spatial_pad(vol, self.pad_to)
+        if vol.dtype != self.dtype:
+            vol = vol.astype(self.dtype)
+        return vol
+
     def _decode(self, rec: Dict) -> Dict:
         out = {"label": np.int32(rec["label"])}
         for k in self.keys:
-            vol = self._decode_vol(rec[k])
-            if self.pad_to is not None:
-                vol = spatial_pad(vol, self.pad_to)
-            out[k] = vol
+            out[k] = self._finalize(self._decode_vol(rec[k]))
         return out
 
     def __getitem__(self, i: int) -> Dict:
@@ -118,10 +134,7 @@ class VolumeSource:
                 vols = native_loader.decode_batch(paths, dims.pop(),
                                                   self.normalize)
                 for j, i in enumerate(missing):
-                    v = vols[j]
-                    if self.pad_to is not None:
-                        v = spatial_pad(v, self.pad_to)
-                    decoded[i][k] = v
+                    decoded[i][k] = self._finalize(vols[j])
             if not complete:
                 decoded = {}
             elif self._cache is not None:

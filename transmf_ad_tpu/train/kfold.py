@@ -36,9 +36,17 @@ from ..config import Options
 from ..data.adni import ADNI
 from ..data.pipeline import Loader, VolumeSource
 from ..utils.logging import Logger
-from .trainer import Trainer, TrainerConfig
+from .trainer import Trainer, TrainerConfig, resolve_dtype
 
 METRIC_NAMES = ("loss", "acc", "sen", "spe", "f1", "auc")
+
+
+def transfer_dtype(opt: Options):
+    """Host cache/transfer dtype for volumes: the compute dtype when it is
+    bfloat16 (halves H2D bytes and RAM cache vs float32 — the host feed is
+    the epoch bottleneck once device steps are ~60 ms), float32 otherwise."""
+    dt = resolve_dtype(opt.dtype or "auto")
+    return np.dtype(dt) if dt is not None else np.float32
 
 
 def dataset_weights(records) -> "np.ndarray":
@@ -133,7 +141,7 @@ def run_kfold(opt: Options, variant: str = "adversarial",
         extra = ADNI(opt.dataroot, "ADNI.csv", "ADCN").data_dict
 
     source = VolumeSource(data + extra, keys=spec["modalities"],
-                          pad_to=spec["pad_to"])
+                          pad_to=spec["pad_to"], dtype=transfer_dtype(opt))
     extra_idx = list(range(len(data), len(data) + len(extra)))
 
     seed = task_seed(opt)
@@ -245,7 +253,8 @@ def run_holdout(opt: Options) -> List[float]:
     np.save(os.path.join(save_dir, "val.npy"), val_d, allow_pickle=True)
     np.save(os.path.join(save_dir, "test.npy"), test_d, allow_pickle=True)
 
-    source = VolumeSource(train_d + val_d + test_d)
+    source = VolumeSource(train_d + val_d + test_d,
+                          dtype=transfer_dtype(opt))
     n1, n2 = len(train_d), len(train_d) + len(val_d)
     train_loader = Loader(source, list(range(n1)), opt.batch_size,
                           shuffle=True, drop_last=True, seed=task_seed(opt),

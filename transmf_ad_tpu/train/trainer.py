@@ -68,6 +68,22 @@ class TrainerConfig:
     progress: bool = True  # per-iteration progress bar (ignite parity)
 
 
+def resolve_dtype(dtype):
+    """Resolve a TrainerConfig.dtype spec to a concrete compute dtype.
+
+    'auto' -> bfloat16 on TPU, None (float32) elsewhere; 'float32'/'f32'
+    -> None; anything else is passed to jnp.dtype. Shared with the data
+    layer so the host feed can cache/transfer volumes in the compute
+    dtype (half the H2D bytes of float32 when training in bfloat16)."""
+    if isinstance(dtype, str):
+        if dtype == "auto":
+            return jnp.bfloat16 if jax.default_backend() == "tpu" else None
+        if dtype in ("float32", "f32"):
+            return None
+        return jnp.dtype(dtype)
+    return dtype
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: folds 2..K of a k-fold run (and any
     rerun) reuse fold 1's executables instead of recompiling (~minutes per
@@ -88,14 +104,7 @@ class Trainer:
         self.cfg = cfg
         self.logger = logger or Logger(cfg.save_dir)
         _enable_compile_cache()
-        dtype = cfg.dtype
-        if isinstance(dtype, str):
-            if dtype == "auto":
-                dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
-            elif dtype in ("float32", "f32"):
-                dtype = None
-            else:
-                dtype = jnp.dtype(dtype)
+        dtype = resolve_dtype(cfg.dtype)
         self.dtype = dtype
         self.mesh = None
         self._batch_sharding = None
