@@ -10,7 +10,16 @@ run, reference: kfold_train_adversarial.py:229-250):
 
 import argparse
 import glob
+import os
 import sys
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # honor an explicit CPU request: the TPU plugin rewrites the env var to
+    # "axon,cpu", and with the TPU tunnel down the axon client hangs at
+    # first device use (CLAUDE.md "Environment gotchas")
+    jax.config.update("jax_platforms", "cpu")
 
 from transmf_ad_tpu.config import Option
 from transmf_ad_tpu.data.adni import ADNI
