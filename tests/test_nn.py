@@ -369,6 +369,88 @@ class TestStemKernel:
                                    atol=2e-2)
 
 
+class TestStemXStatsBlockedDw:
+    """Full-resolution stem regime (ops/stem.py::stem_conv_xstats): XLA
+    conv forward + z-blocked banded-MXU dw backward with fused
+    stats-cotangent assembly. Grads must match the plain differentiable
+    XLA formulation, including z-chunk counts > 1 and the no-divisor
+    (lane-padded) case."""
+
+    @staticmethod
+    def _ref(x, w):
+        y = jax.lax.conv_general_dilated(
+            x[..., None], w[..., None, :], (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        yf = y.astype(jnp.float32)
+        return y, jnp.stack([jnp.sum(yf, (0, 1, 2, 3)),
+                             jnp.sum(jax.lax.square(yf), (0, 1, 2, 3))])
+
+    def test_forward_parity(self, rng):
+        from transmf_ad_tpu.ops.stem import stem_conv_xstats
+
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, 40)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, 32)) * 0.1,
+                        jnp.float32)
+        y, st = stem_conv_xstats(x, w, True, True)
+        yr, str_ = self._ref(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st), np.asarray(str_),
+                                   rtol=1e-5)
+
+    @pytest.mark.parametrize("Z", [40, 37])  # divisor chunking / lane pad
+    def test_grad_parity_blocked(self, rng, Z):
+        from transmf_ad_tpu.ops.stem import _pick_tz, stem_conv_xstats
+
+        C = 32
+        tz = _pick_tz(Z, C)
+        assert tz < Z  # the test must actually exercise z-blocking
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, Z)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.1,
+                        jnp.float32)
+        gst = jnp.asarray(rng.standard_normal((2, C)), jnp.float32)
+
+        def lp(x, w):
+            y, st = stem_conv_xstats(x, w, True, True)
+            return jnp.sum(y ** 2) + jnp.vdot(st, gst)
+
+        def lr(x, w):
+            y, st = self._ref(x, w)
+            return jnp.sum(y ** 2) + jnp.vdot(st, gst)
+
+        dxp, dwp = jax.grad(lp, argnums=(0, 1))(x, w)
+        dxr, dwr = jax.grad(lr, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwr),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_convbnact_full_res_regime_matches_xla(self, rng):
+        """A ConvBNAct whose shape fails stem_fits, trained one step with
+        use_stem_kernel=True (-> XLA fwd + blocked Pallas dw), must produce
+        the same loss and parameter gradients as use_stem_kernel=False."""
+        from transmf_ad_tpu.ops.stem import stem_fits
+
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 128, 1)), jnp.float32)
+        assert not stem_fits((6, 6, 128), 32)
+        blk_k = tnn.ConvBNAct(32, use_stem_kernel=True)
+        blk_x = tnn.ConvBNAct(32, use_stem_kernel=False)
+        v = blk_k.init(jax.random.key(0), x, True)
+
+        def loss(params, blk):
+            out, _ = blk.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        lk, gk = jax.value_and_grad(loss)(v["params"], blk_k)
+        lx, gx = jax.value_and_grad(loss)(v["params"], blk_x)
+        np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3)
+
+
 class TestFusedTokenPool:
     def test_parity_interpret(self, rng):
         from transmf_ad_tpu.ops.pooling import fused_token_pool, pool_reference
@@ -753,6 +835,56 @@ class TestBcPoolFused:
             np.testing.assert_allclose(
                 np.asarray(db), np.asarray(dbl.reshape(Z, C).sum(0)),
                 rtol=2e-2, atol=1e-2)
+
+    def test_z_blocked_path_parity(self, rng, monkeypatch):
+        """Force the pooled-z blocking (the full-resolution stage-1 route,
+        where a single full-Z row set overflows scoped VMEM) by shrinking
+        the budget; fwd and grads must still match the XLA reference,
+        odd-Z/odd-Y tails included."""
+        import functools as ft
+
+        from transmf_ad_tpu.ops import pool3d
+
+        orig = pool3d._yb_zb_for
+        monkeypatch.setattr(pool3d, "_yb_zb_for",
+                            ft.partial(orig, budget=256 * 1024))
+        for shape in [(2, 6, 9, 26, 8), (2, 5, 7, 31, 8), (3, 4, 6, 24, 16)]:
+            C = shape[-1]
+            # verify the patched plan actually z-blocks (ZB < Zp)
+            _, ZB = pool3d._yb_zb_for(shape[2], shape[3], shape[0], C,
+                                      live_f32=7)
+            assert ZB < shape[3] // 2
+            y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            s = jnp.asarray(rng.standard_normal(C) * 0.5 + 1, jnp.float32)
+            b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+            out = pool3d.max_pool3d_2x2_affine_act_bc(y, s, b, 0.01, True,
+                                                      True)
+            np.testing.assert_array_equal(
+                np.asarray(out, np.float32),
+                np.asarray(self._ref(y, s, b), np.float32))
+            g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+
+            def f_bc(y, s, b):
+                o = pool3d.max_pool3d_2x2_affine_act_bc(y, s, b, 0.01,
+                                                        True, True)
+                return jnp.vdot(o.astype(jnp.float32), g)
+
+            def f_ref(y, s, b):
+                return jnp.vdot(self._ref(y, s, b).astype(jnp.float32), g)
+
+            dy, ds, db = jax.grad(f_bc, argnums=(0, 1, 2))(y, s, b)
+            dyr, dsr, dbr = jax.grad(f_ref, argnums=(0, 1, 2))(y, s, b)
+            assert bool(jnp.all(jnp.isfinite(dy)))
+            # reference select-and-scatter routes ties to one element while
+            # the kernel splits equally; random bf16 inputs make ties rare
+            # enough that dy matches on >99.9% of elements — compare sums
+            # (exactly conserved) and ds/db (accumulation-order tolerance)
+            np.testing.assert_allclose(float(jnp.sum(dy)),
+                                       float(jnp.sum(dyr)), rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(ds), np.asarray(dsr),
+                                       rtol=2e-2, atol=1e-2)
+            np.testing.assert_allclose(np.asarray(db), np.asarray(dbr),
+                                       rtol=2e-2, atol=1e-2)
 
     def test_grad_sum_conservation_on_ties(self):
         # constant input: every window is an 8-way tie; gradient mass must

@@ -74,20 +74,22 @@ class ConvBNAct(nn.Module):
 
         from ..ops.stem import stem_fits
 
-        stem_ok = (
+        stem_structural = (
             cin == 1
             and self.kernel == (3, 3, 3)
             and self.strides == (1, 1, 1)
             and self.padding == "SAME"
             and self.precision is None
-            # full-resolution volumes overflow the banded kernels' scoped
-            # VMEM; they take the XLA conv + conv-native-layout pool path
-            and stem_fits(x.shape[1:4], self.features,
-                          jnp.dtype(dt).itemsize)
         )
+        # full-resolution volumes overflow the banded fwd kernels' scoped
+        # VMEM; they take the XLA conv + conv-native-layout pool path, but
+        # training still routes the weight gradient through the z-blocked
+        # banded dw kernel (ops/stem.py::stem_conv_xstats)
+        stem_ok = stem_structural and stem_fits(
+            x.shape[1:4], self.features, jnp.dtype(dt).itemsize)
         use_stem = self.use_stem_kernel
         if use_stem is None:
-            use_stem = stem_ok and jax.default_backend() == "tpu"
+            use_stem = stem_structural and jax.default_backend() == "tpu"
         # linear conv output; the bias folds into the BN affine below
         stats = None
         if use_stem and stem_ok:
@@ -129,6 +131,16 @@ class ConvBNAct(nn.Module):
                 stats = (stc[0], stc[1], n)
             else:  # eval needs no batch statistics
                 y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
+        elif use_stem and stem_structural and train:
+            # over-VMEM stem (full resolution): XLA conv forward, but the
+            # weight gradient + stats-cotangent assembly run in the
+            # z-blocked banded-MXU dw kernel (29 ms/modality of XLA VPU
+            # multiply-add otherwise at 182^3 — docs/PERFORMANCE.md)
+            from ..ops.stem import stem_conv_xstats
+
+            y, st2 = stem_conv_xstats(xd[..., 0], kd[:, :, :, 0, :])
+            n = int(np.prod(y.shape[:-1]))
+            stats = (st2[0], st2[1], n)
         else:
             # Body convs stay XLA: its TPU 3D convs run at up to 183 TF/s
             # here and the Pallas body-conv kernel measurably loses

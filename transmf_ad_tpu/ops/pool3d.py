@@ -199,6 +199,16 @@ def _use_pallas(x, use_pallas):
     return use_pallas and _fits(x)
 
 
+def _use_pallas_bc(x, use_pallas):
+    """The bc kernels block over BOTH y and pooled z (`_yb_zb_for`), so any
+    shape fits scoped VMEM — unlike the merged kernel, whose whole-Z rows
+    make `_fits` fail at full resolution (and wrongly gated the bc path to
+    the select-and-scatter fallback there: 62 ms/step at 182^3)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return use_pallas
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def max_pool3d_2x2(x, use_pallas=None, interpret=False):
     """(B, X, Y, Z, C) -> (B, X//2, Y//2, Z//2, C), torch MaxPool3d(2,2).
@@ -531,21 +541,32 @@ def _ybc_dims(y):
     return b, X, Y, Z, C, X // 2, Y // 2, Z // 2
 
 
-def _yb_for(Y, Z, B, C, live_f32, budget=12 * 1024 * 1024):
-    """y-out rows per program, sized so `live_f32` simultaneously-live
-    f32 block-shaped vectors (the kernel's in-register working set) fit
-    `budget` of the 16 MB scoped VMEM. The trailing (B, C) dims are one
-    vector tile: C pads to full 128 lanes AND B to full 8 sublanes — at
-    small batch the padding, not the data, dominates (observed: batch-2
-    eval blocks cost 4x their nominal size and OOM'd scoped VMEM)."""
+def _yb_zb_for(Y, Z, B, C, live_f32, budget=12 * 1024 * 1024):
+    """(y-out rows, z-out cols) per program, sized so `live_f32`
+    simultaneously-live f32 block-shaped vectors (the kernel's in-register
+    working set) fit `budget` of the 16 MB scoped VMEM. The trailing
+    (B, C) dims are one vector tile: C pads to full 128 lanes AND B to
+    full 8 sublanes — at small batch the padding, not the data, dominates
+    (observed: batch-2 eval blocks cost 4x their nominal size and OOM'd
+    scoped VMEM).
+
+    Blocks over Y first (one z stripe per program when the full-Z row set
+    fits — the round-3 layout); when even a single full-Z row overflows
+    (full-resolution stage-1: Z=182 with the B->8 sublane pad), it blocks
+    over POOLED z as well. The 2x2x2 windows are aligned and
+    non-overlapping, so z-blocking needs no halo."""
     lane = max(C, 128)
     sub = max(B, 8)
+    Zp = max(Z // 2, 1)
     per_row = 2 * 2 * Z * sub * lane * 4 * live_f32  # one y-out row's live set
-    return max(1, min(Y // 2, budget // max(per_row, 1)))
+    if per_row <= budget:
+        return max(1, min(Y // 2, budget // per_row)), Zp
+    per_z = 2 * 2 * 2 * sub * lane * 4 * live_f32  # one pooled-z col, YB=1
+    return 1, max(1, min(Zp, budget // max(per_z, 1)))
 
 
-def _bc_fwd_kernel(t_ref, s_ref, b_ref, o_ref, *, Yp, Zp, B, C, slope):
-    x0 = t_ref[0].astype(jnp.float32)           # (2YB, Z, B, C)
+def _bc_fwd_kernel(t_ref, s_ref, b_ref, o_ref, *, ZB, B, C, slope):
+    x0 = t_ref[0].astype(jnp.float32)           # (2YB, 2ZB, B, C)
     x1 = t_ref[1].astype(jnp.float32)
     s, bb = s_ref[0], b_ref[0]                  # (C,) f32, lane broadcast
     z0 = x0 * s + bb
@@ -555,15 +576,19 @@ def _bc_fwd_kernel(t_ref, s_ref, b_ref, o_ref, *, Yp, Zp, B, C, slope):
     a = jnp.maximum(z0, z1)                     # x-pair
     yb2 = a.shape[0]
     a = a.reshape(yb2 // 2, 2, *a.shape[1:]).max(axis=1)        # y-pairs
-    a = a[:, : 2 * Zp].reshape(a.shape[0], Zp, 2, B, C).max(axis=2)
+    a = a.reshape(a.shape[0], ZB, 2, B, C).max(axis=2)          # z-pairs
     o_ref[0] = a
 
 
 def _bc_bwd_kernel(t_ref, s_ref, b_ref, p_ref, g_ref, dx_ref, dsb_ref,
-                   *, Y, Yp, Z, Zp, B, C, Xp, YB, slope):
+                   *, Yp, Zp, B, C, Xp, YB, ZB, TZIN, slope):
+    # TZIN is the t/dx block z extent: the whole Z (odd tail included,
+    # handled in-kernel — the single-z-block regime) or 2*ZB (the blocked
+    # regime; tail z positions are covered by extra masked grid blocks).
     i = pl.program_id(0)
     j = pl.program_id(1)
-    first = (i == 0) & (j == 0)
+    k = pl.program_id(2)
+    first = (i == 0) & (j == 0) & (k == 0)
 
     @pl.when(first)
     def _():
@@ -572,47 +597,50 @@ def _bc_bwd_kernel(t_ref, s_ref, b_ref, p_ref, g_ref, dx_ref, dsb_ref,
     @pl.when(i < Xp)
     def _():
         s, bb = s_ref[0], b_ref[0]
-        # valid-row mask: the odd-Y tail row and block-padding rows carry
-        # zero gradient; the mask is a WHERE (not a multiply) so padded-read
+        # valid masks: odd-axis tail and block-padding rows/cols carry zero
+        # gradient; masks are WHEREs (not multiplies) so padded-read
         # garbage (possibly inf/NaN) can never leak through 0*garbage.
         row = jax.lax.broadcasted_iota(jnp.int32, (2 * YB, 1, 1, 1), 0) \
             + 2 * YB * j
-        yvalid = row < 2 * Yp                                  # (2YB,1,1,1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, TZIN, 1, 1), 1) \
+            + TZIN * k
+        valid = (row < 2 * Yp) & (col < 2 * Zp)           # (2YB, TZIN, 1, 1)
         # fwd-identical recompute (f32 affine, round through storage dtype)
         pres, zs = [], []
         for r in (0, 1):
-            pre = t_ref[r].astype(jnp.float32) * s + bb       # (2YB, Z, B, C)
+            pre = t_ref[r].astype(jnp.float32) * s + bb   # (2YB, TZIN, B, C)
             z = jnp.where(pre >= 0, pre, slope * pre).astype(
                 t_ref.dtype).astype(jnp.float32)
             pres.append(pre)
-            zs.append(z[:, : 2 * Zp])                          # (2YB,2Zp,B,C)
-        # pooled value broadcast back over the window: (YB,Zp,B,C) ->
-        # (2YB, 2Zp, B, C) via outer-dim broadcast+reshape (free in Mosaic)
-        p = p_ref[0].astype(jnp.float32)                       # (YB, Zp, B, C)
+            zs.append(z[:, : 2 * ZB])                     # (2YB, 2ZB, B, C)
+        # pooled value broadcast back over the window: (YB,ZB,B,C) ->
+        # (2YB, 2ZB, B, C) via outer-dim broadcast+reshape (free in Mosaic)
+        p = p_ref[0].astype(jnp.float32)                   # (YB, ZB, B, C)
         g = g_ref[0].astype(jnp.float32)
-        rep = jnp.broadcast_to(p[:, None, :, None], (YB, 2, Zp, 2, B, C))
-        rep = rep.reshape(2 * YB, 2 * Zp, B, C)
-        eqs = [(z == rep) for z in zs]                         # bool masks
+        rep = jnp.broadcast_to(p[:, None, :, None], (YB, 2, ZB, 2, B, C))
+        rep = rep.reshape(2 * YB, 2 * ZB, B, C)
+        eqs = [(z == rep) for z in zs]                     # bool masks
         cnt = functools.reduce(
             jnp.add,
-            [e.astype(jnp.float32).reshape(YB, 2, Zp, 2, B, C).sum((1, 3))
-             for e in eqs])                                    # (YB,Zp,B,C)
+            [e.astype(jnp.float32).reshape(YB, 2, ZB, 2, B, C).sum((1, 3))
+             for e in eqs])                                # (YB, ZB, B, C)
         gi = g / jnp.maximum(cnt, 1.0)
         rep_g = jnp.broadcast_to(
-            gi[:, None, :, None], (YB, 2, Zp, 2, B, C)
-        ).reshape(2 * YB, 2 * Zp, B, C)
-        ztail = Z - 2 * Zp
+            gi[:, None, :, None], (YB, 2, ZB, 2, B, C)
+        ).reshape(2 * YB, 2 * ZB, B, C)
+        validz = valid[:, : 2 * ZB]
+        ztail = TZIN - 2 * ZB
         ds_acc = jnp.zeros((C,), jnp.float32)
         db_acc = jnp.zeros((C,), jnp.float32)
         for r in (0, 1):
-            dz = jnp.where(yvalid & eqs[r], rep_g, 0.0)        # (2YB,2Zp,B,C)
+            dz = jnp.where(validz & eqs[r], rep_g, 0.0)    # (2YB, 2ZB, B, C)
             if ztail:
                 dz = jnp.concatenate(
                     [dz, jnp.zeros((2 * YB, ztail, B, C), jnp.float32)],
-                    axis=1)                                    # (2YB, Z, B, C)
+                    axis=1)                                # (2YB, TZIN, B, C)
             dpre = dz * jnp.where(pres[r] >= 0, 1.0, slope)
             dx_ref[r] = (dpre * s).astype(dx_ref.dtype)
-            t = jnp.where(yvalid, t_ref[r].astype(jnp.float32), 0.0)
+            t = jnp.where(valid, t_ref[r].astype(jnp.float32), 0.0)
             ds_acc += jnp.sum(dpre * t, axis=(0, 1, 2))
             db_acc += jnp.sum(dpre, axis=(0, 1, 2))
         dsb_ref[0] += ds_acc
@@ -640,7 +668,8 @@ def max_pool3d_2x2_affine_act_bc(y, scale, shift, slope=0.01,
     section comment above). Numerically identical to the merged variant.
     """
     b, X, Y, Z, C, Xp, Yp, Zp = _ybc_dims(y)
-    if (not _use_pallas(y, use_pallas) and not interpret) or not _fits_bc(y):
+    if (not _use_pallas_bc(y, use_pallas) and not interpret) \
+            or not _fits_bc(y):
         z = y.astype(jnp.float32) * scale + shift
         z = jnp.where(z >= 0, z, slope * z).astype(y.dtype)
         return jax.lax.reduce_window(
@@ -648,22 +677,22 @@ def max_pool3d_2x2_affine_act_bc(y, scale, shift, slope=0.01,
             "VALID")
     interpret = auto_interpret(interpret)
     t = jnp.transpose(y, (1, 2, 3, 0, 4))      # free layout bitcast
-    YB = _yb_for(Y, Z, b, C, live_f32=3)
+    YB, ZB = _yb_zb_for(Y, Z, b, C, live_f32=3)
     ny = -(-Yp // YB)
+    nz = -(-Zp // ZB)
     out = pl.pallas_call(
-        functools.partial(_bc_fwd_kernel, Yp=Yp, Zp=Zp, B=b, C=C,
-                          slope=slope),
+        functools.partial(_bc_fwd_kernel, ZB=ZB, B=b, C=C, slope=slope),
         out_shape=out_struct((Xp, Yp, Zp, b, C), y.dtype, t),
-        grid=(Xp, ny),
+        grid=(Xp, ny, nz),
         in_specs=[
-            pl.BlockSpec((2, 2 * YB, Z, b, C),
-                         lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((2, 2 * YB, 2 * ZB, b, C),
+                         lambda i, j, k: (i, j, k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, YB, Zp, b, C),
-                               lambda i, j: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, YB, ZB, b, C),
+                               lambda i, j, k: (i, j, k, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(t, scale.reshape(1, C).astype(jnp.float32),
@@ -680,7 +709,8 @@ def _bca_fwd(y, scale, shift, slope, use_pallas, interpret):
 def _bca_bwd(slope, use_pallas, interpret, res, g):
     y, scale, shift, p = res
     b, X, Y, Z, C, Xp, Yp, Zp = _ybc_dims(y)
-    if (not _use_pallas(y, use_pallas) and not interpret) or not _fits_bc(y):
+    if (not _use_pallas_bc(y, use_pallas) and not interpret) \
+            or not _fits_bc(y):
         def f(yy, ss, bb):
             z = yy.astype(jnp.float32) * ss + bb
             z = jnp.where(z >= 0, z, slope * z).astype(yy.dtype)
@@ -695,39 +725,48 @@ def _bca_bwd(slope, use_pallas, interpret, res, g):
     t = jnp.transpose(y, (1, 2, 3, 0, 4))
     pt = jnp.transpose(p, (1, 2, 3, 0, 4))
     gt = jnp.transpose(g.astype(y.dtype), (1, 2, 3, 0, 4))
-    YB = _yb_for(Y, Z, b, C, live_f32=7)
+    YB, ZB = _yb_zb_for(Y, Z, b, C, live_f32=7)
     ny = -(-Yp // YB)
-    # dx must cover ALL Y rows (the odd tail row carries zero gradient but
-    # must still be written); input maps clamp to the last real y-block —
-    # the tail block's yvalid mask is all-False so it writes pure zeros.
+    nz = -(-Zp // ZB)
+    # dx must cover ALL Y rows and Z cols (odd-axis tails carry zero
+    # gradient but must still be written). In the single-z-block regime the
+    # t/dx blocks span the whole Z and the kernel zero-fills the odd tail
+    # in place; in the blocked regime tail z positions get extra grid
+    # blocks whose valid masks are all-False so they write pure zeros.
+    # Input maps clamp to the last real block either way.
     ny_out = max(ny, -(-Y // (2 * YB)))
+    tzin = Z if nz == 1 else 2 * ZB
+    nz_out = max(nz, -(-Z // tzin))
     gx = X - 2 * Xp
     dx, dsb = pl.pallas_call(
-        functools.partial(_bc_bwd_kernel, Y=Y, Yp=Yp, Z=Z, Zp=Zp, B=b, C=C,
-                          Xp=Xp, YB=YB, slope=slope),
+        functools.partial(_bc_bwd_kernel, Yp=Yp, Zp=Zp, B=b, C=C,
+                          Xp=Xp, YB=YB, ZB=ZB, TZIN=tzin, slope=slope),
         out_shape=[out_struct((X, Y, Z, b, C), y.dtype, t, gt),
                    out_struct((2, C), jnp.float32, t, gt)],
-        grid=(Xp + gx, ny_out),
+        grid=(Xp + gx, ny_out, nz_out),
         in_specs=[
-            pl.BlockSpec((2, 2 * YB, Z, b, C),
-                         lambda i, j: (i, jnp.minimum(j, ny - 1), 0, 0, 0),
+            pl.BlockSpec((2, 2 * YB, tzin, b, C),
+                         lambda i, j, k: (i, jnp.minimum(j, ny - 1),
+                                          jnp.minimum(k, nz - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, YB, Zp, b, C),
-                         lambda i, j: (jnp.minimum(i, Xp - 1),
-                                       jnp.minimum(j, ny - 1), 0, 0, 0),
+            pl.BlockSpec((1, YB, ZB, b, C),
+                         lambda i, j, k: (jnp.minimum(i, Xp - 1),
+                                          jnp.minimum(j, ny - 1),
+                                          jnp.minimum(k, nz - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, YB, Zp, b, C),
-                         lambda i, j: (jnp.minimum(i, Xp - 1),
-                                       jnp.minimum(j, ny - 1), 0, 0, 0),
+            pl.BlockSpec((1, YB, ZB, b, C),
+                         lambda i, j, k: (jnp.minimum(i, Xp - 1),
+                                          jnp.minimum(j, ny - 1),
+                                          jnp.minimum(k, nz - 1), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((2, 2 * YB, Z, b, C),
-                         lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((2, 2 * YB, tzin, b, C),
+                         lambda i, j, k: (i, j, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, C), lambda i, j: (0, 0),
+            pl.BlockSpec((2, C), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,

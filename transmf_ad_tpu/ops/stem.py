@@ -350,3 +350,176 @@ def _stem_dw_pallas(x, y, gy, a_lanes, b_lanes, interpret=False):
             for dz in range(3)]                       # each (9, C)
     dw = jnp.stack(taps, axis=1).reshape(3, 3, 3, C)  # (dxdy, dz) -> 3,3,3
     return dw
+
+
+# ---------------------------------------------------------------------------
+# Full-resolution stem: XLA conv forward + Z-BLOCKED banded-MXU dw backward
+#
+# Beyond `stem_fits` (182^3-class volumes) the banded forward kernels
+# overflow scoped VMEM and the XLA conv takes over — but the weight
+# gradient then regresses to an XLA VPU multiply-add (measured 29
+# ms/modality at 182x218x182 batch 2, `multiply_add_fusion` in the trace)
+# plus full-resolution stats-cotangent assembly passes. The banded dw
+# formulation still wins there once its (9*(Z+2), Z*C) f32 band accumulator
+# is blocked over z: output z-chunks of `tz` lanes need only the x-window
+# [zb*tz, zb*tz+tz+2), so each grid step accumulates a small
+# (9*(tz+2), tz*C) T block — z_in windows overlap by 2 between chunks, so
+# the windows are pre-gathered into a (nzb, B, X+2, Y+2, tz+2) tensor by
+# XLA (a ~1.08x copy of the cheap INPUT volume, not the conv output).
+# dw taps are shifted diagonals of each T block, summed over blocks.
+# ---------------------------------------------------------------------------
+
+
+def _pick_tz(Z: int, C: int, target_lanes: int = 1024,
+             budget: int = 6 * 1024 * 1024) -> int:
+    """z-chunk size: ~target_lanes merged lanes per block, T block under
+    `budget`, preferring divisors of Z (no lane padding of y/gy)."""
+    tz = max(1, min(Z, target_lanes // max(C, 1)))
+    while tz > 1 and 9 * (tz + 2) * tz * C * 4 > budget:
+        tz -= 1
+    for d in range(tz, 0, -1):
+        if Z % d == 0:
+            return d
+    return tz
+
+
+def _stem_dw_blocked_kernel(x0_ref, x1_ref, x2_ref, y_ref, gy_ref, ab_ref,
+                            t_ref, lhs_ref, *, Y, TZ):
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        t_ref[...] = jnp.zeros_like(t_ref)
+
+    zpw = TZ + 2
+    for dx, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        for dy in range(3):
+            k = dx * 3 + dy
+            lhs_ref[:, k * zpw: (k + 1) * zpw] = x_ref[0, 0, 0, dy: dy + Y, :]
+    yh = (gy_ref[0, 0] +
+          (ab_ref[0:1] + y_ref[0, 0].astype(jnp.float32) * ab_ref[1:2]
+           ).astype(gy_ref.dtype))
+    t_ref[...] += jax.lax.dot_general(
+        lhs_ref[...], yh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stem_dw_blocked_pallas(x, y, gy, a_ch, b_ch, interpret=False):
+    """dw (3,3,3,C) from input x (B,X,Y,Z), conv output y (B,X,Y,Z,C),
+    direct cotangent gy, and PER-CHANNEL stats-cotangent terms
+    (yhat = gy + a_ch + b_ch * y), with the band accumulator blocked
+    over z so full-resolution volumes fit scoped VMEM."""
+    b, X, Y, Z = x.shape
+    C = y.shape[-1]
+    tz = _pick_tz(Z, C)
+    nzb = -(-Z // tz)
+    Zo = nzb * tz
+    zpw = tz + 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1 + Zo - Z))).astype(y.dtype)
+    # overlapping z_in windows, pre-gathered (static slices; ~1.08x of the
+    # input volume — NOT of the 16x-larger conv output)
+    xw = jnp.stack([xp[..., zb * tz: zb * tz + zpw] for zb in range(nzb)])
+    y2 = y.reshape(b, X, Y, Z * C)
+    g2 = gy.reshape(b, X, Y, Z * C).astype(y.dtype)
+    if Zo != Z:
+        padl = (0, (Zo - Z) * C)
+        zero = ((0, 0),) * 3
+        y2 = jnp.pad(y2, (*zero, padl))
+        g2 = jnp.pad(g2, (*zero, padl))
+    # per-channel cotangent terms tiled over ALL z_out lanes, zeroed on the
+    # padded tail so phantom lanes contribute yhat = 0 + (0 + 0*b) = 0
+    # exactly (y2/g2 are zero there but `a` alone would leak otherwise);
+    # each grid step reads its own (2, tz*C) chunk
+    ab = jnp.stack([jnp.tile(a_ch, Zo), jnp.tile(b_ch, Zo)])
+    if Zo != Z:
+        lanes = jnp.arange(Zo * C) < Z * C
+        ab = jnp.where(lanes[None, :], ab, 0.0)
+    ab = ab.astype(jnp.float32)
+
+    def row_spec(off):
+        return pl.BlockSpec((1, 1, 1, Y + 2, zpw),
+                            lambda zb, bi, i: (zb, bi, i + off, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def chunk_spec():
+        return pl.BlockSpec((1, 1, Y, tz * C),
+                            lambda zb, bi, i: (bi, i, 0, zb),
+                            memory_space=pltpu.VMEM)
+
+    t = pl.pallas_call(
+        functools.partial(_stem_dw_blocked_kernel, Y=Y, TZ=tz),
+        out_shape=out_struct((nzb, 9 * zpw, tz * C), jnp.float32, x, gy),
+        grid=(nzb, b, X),
+        in_specs=[
+            row_spec(0), row_spec(1), row_spec(2),
+            chunk_spec(), chunk_spec(),
+            pl.BlockSpec((2, tz * C), lambda zb, bi, i: (0, zb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9 * zpw, tz * C),
+                               lambda zb, bi, i: (zb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Y, 9 * zpw), y.dtype)],
+        interpret=interpret,
+    )(xw, xw, xw, y2, g2, ab)
+
+    t5 = t.reshape(nzb, 9, zpw, tz, C)
+    taps = [jnp.diagonal(t5, offset=-dz, axis1=2, axis2=3).sum((0, -1))
+            for dz in range(3)]                       # each (9, C)
+    dw = jnp.stack(taps, axis=1).reshape(3, 3, 3, C)  # (dxdy, dz) -> 3,3,3
+    return dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def stem_conv_xstats(x, w, use_pallas=True, interpret=False):
+    """Full-resolution stem: XLA conv + per-channel Σ/Σ² statistics.
+
+    Forward is the plain XLA conv (the banded kernel's VMEM gate fails at
+    these shapes) with bf16-read f32-accumulated per-channel sums — the
+    same `convert_reduce` XLA fuses into its convolutions (the s2 pattern,
+    docs/PERFORMANCE.md). Backward intercepts the COMBINED cotangent
+    (direct gy + stats terms) and computes dw on the MXU via the z-blocked
+    banded kernel, with the yhat assembly fused into its prologue — the
+    XLA route costs 29 ms/modality of VPU multiply-add plus full-res
+    assembly passes at 182^3.
+
+    Returns (y (B,X,Y,Z,C), st (2, C) f32 [Σ, Σ²] over B,X,Y,Z), matching
+    ManualBN's own statistics math (nn/batchnorm.py:61-67).
+    """
+    y = _conv_reference(x, w)
+    yf = y.astype(jnp.float32)
+    s = jnp.sum(yf, axis=(0, 1, 2, 3))
+    ss = jnp.sum(jax.lax.square(yf), axis=(0, 1, 2, 3))
+    return y, jnp.stack([s, ss])
+
+
+def _xs_fwd(x, w, use_pallas, interpret):
+    y, st = stem_conv_xstats(x, w, use_pallas, interpret)
+    return (y, st), (x, w, y)
+
+
+def _xs_bwd(use_pallas, interpret, res, cot):
+    x, w, y = res
+    gy, gst = cot
+    a_ch = gst[0]
+    b_ch = 2.0 * gst[1]
+    if use_pallas:
+        dw = _stem_dw_blocked_pallas(
+            x, y, gy, a_ch, b_ch,
+            interpret=auto_interpret(interpret)).astype(w.dtype)
+    else:
+        yhat_w = (gy.astype(y.dtype) +
+                  (a_ch + y.astype(jnp.float32) * b_ch).astype(y.dtype))
+        (dw,) = jax.linear_transpose(lambda ww: _conv_reference(x, ww), w)(
+            yhat_w.astype(w.dtype))
+    # dx is dead code in training (the stem consumes the input volume);
+    # XLA removes this whole chain when dx is unused.
+    yhat = (gy.astype(y.dtype) +
+            (a_ch + y.astype(jnp.float32) * b_ch).astype(y.dtype))
+    (dx,) = jax.linear_transpose(lambda xx: _conv_reference(xx, w), x)(
+        yhat.astype(x.dtype))
+    return dx, reduce_ct(dw, w)
+
+
+stem_conv_xstats.defvjp(_xs_fwd, _xs_bwd)
