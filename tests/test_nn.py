@@ -424,6 +424,32 @@ class TestStemXStatsBlockedDw:
         np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_snet_full_res_regime_matches_xla(self, rng):
+        """A whole SNet encoder on an over-VMEM-budget geometry (the
+        full-resolution routing: XLA stem conv + blocked Pallas dw + bc
+        pool): loss and gradients must match the pure-XLA path."""
+        from transmf_ad_tpu.ops.stem import stem_fits
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 384, 1)), jnp.float32)
+        assert not stem_fits((8, 8, 384), 8)
+        net_k = tnn.SNet(dim=32, use_pallas=True)
+        net_x = tnn.SNet(dim=32, use_pallas=False)
+        v = net_k.init(jax.random.key(0), x, True)
+
+        def loss(params, net):
+            out, _ = net.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        lk, gk = jax.value_and_grad(loss)(v["params"], net_k)
+        lx, gx = jax.value_and_grad(loss)(v["params"], net_x)
+        np.testing.assert_allclose(float(lk), float(lx), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-3)
+
     def test_convbnact_full_res_regime_matches_xla(self, rng):
         """A ConvBNAct whose shape fails stem_fits, trained one step with
         use_stem_kernel=True (-> XLA fwd + blocked Pallas dw), must produce
