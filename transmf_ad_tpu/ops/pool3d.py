@@ -654,7 +654,15 @@ def _bc_bwd_kernel(t_ref, s_ref, b_ref, p_ref, g_ref, dx_ref, dsb_ref,
 
 def _fits_bc(y) -> bool:
     b, X, Y, Z, C = y.shape
-    return b >= 1 and X >= 2 and Y >= 2 and Z >= 2
+    if not (b >= 1 and X >= 2 and Y >= 2 and Z >= 2):
+        return False
+    # even the minimal (YB=1, ZB=1) backward block must fit scoped VMEM —
+    # only violable at extreme batch*lane products (e.g. B >= ~128);
+    # use the backward's live-set so fwd and bwd route identically (a
+    # split decision would mix the kernel's equal-tie-split subgradient
+    # with the XLA fallback's route-to-one-element convention)
+    per_z = 2 * 2 * 2 * max(b, 8) * max(C, 128) * 4 * 7
+    return per_z <= 14 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
