@@ -450,6 +450,79 @@ class TestStemXStatsBlockedDw:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-3)
 
+    def test_blocked_stem_fwd_parity(self, rng):
+        """stem_conv_stats_blocked: z-chunked banded fwd + in-kernel
+        per-lane stats must match the XLA reference formulation, and its
+        custom bwd (blocked dw with per-LANE cotangent assembly) must
+        match autodiff of the reference."""
+        from transmf_ad_tpu.ops.stem import (_pick_tz, stem_can_block,
+                                             stem_conv_stats_blocked)
+
+        Z, C = 40, 32
+        assert stem_can_block(Z, C) and _pick_tz(Z, C) == 20
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, Z)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.1,
+                        jnp.float32)
+        y, st = stem_conv_stats_blocked(x, w, True, True)
+        yr, str_ = TestStemXStatsBlockedDw._ref_lane(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-5)
+        # f32 accumulation order differs (per-row in-kernel vs one reduce)
+        np.testing.assert_allclose(np.asarray(st), np.asarray(str_),
+                                   rtol=1e-3, atol=1e-2)
+
+        gst = jnp.asarray(rng.standard_normal((2, Z * C)) * 0.1, jnp.float32)
+
+        def lp(x, w):
+            y, st = stem_conv_stats_blocked(x, w, True, True)
+            return jnp.sum(y ** 2) + jnp.vdot(st, gst)
+
+        def lr(x, w):
+            y, st = TestStemXStatsBlockedDw._ref_lane(x, w)
+            return jnp.sum(y ** 2) + jnp.vdot(st, gst)
+
+        dxp, dwp = jax.grad(lp, argnums=(0, 1))(x, w)
+        dxr, dwr = jax.grad(lr, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwr),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_convbnact_blocked_stem_env_matches_xla(self, rng, monkeypatch):
+        """ConvBNAct with TRANSMF_BLOCKED_STEM=1 on an over-budget shape
+        (banded blocked fwd + merged pool) matches use_stem_kernel=False."""
+        from transmf_ad_tpu.ops.stem import stem_can_block, stem_fits
+
+        monkeypatch.setenv("TRANSMF_BLOCKED_STEM", "1")
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 384, 1)), jnp.float32)
+        assert not stem_fits((6, 6, 384), 8) and stem_can_block(384, 8)
+        blk_k = tnn.ConvBNAct(8, pool="max", use_stem_kernel=True)
+        blk_x = tnn.ConvBNAct(8, pool="max", use_stem_kernel=False)
+        v = blk_k.init(jax.random.key(0), x, True)
+
+        def loss(params, blk):
+            out, _ = blk.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        lk, gk = jax.value_and_grad(loss)(v["params"], blk_k)
+        lx, gx = jax.value_and_grad(loss)(v["params"], blk_x)
+        np.testing.assert_allclose(float(lk), float(lx), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-3)
+
+    @staticmethod
+    def _ref_lane(x, w):
+        y = jax.lax.conv_general_dilated(
+            x[..., None], w[..., None, :], (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        b, X, Y, Z, C = y.shape
+        yf = y.astype(jnp.float32).reshape(b, X, Y, Z * C)
+        return y, jnp.stack([jnp.sum(yf, (0, 1, 2)),
+                             jnp.sum(jax.lax.square(yf), (0, 1, 2))])
+
     def test_convbnact_full_res_regime_matches_xla(self, rng):
         """A ConvBNAct whose shape fails stem_fits, trained one step with
         use_stem_kernel=True (-> XLA fwd + blocked Pallas dw), must produce
@@ -861,6 +934,66 @@ class TestBcPoolFused:
             np.testing.assert_allclose(
                 np.asarray(db), np.asarray(dbl.reshape(Z, C).sum(0)),
                 rtol=2e-2, atol=1e-2)
+
+    def test_merged_kernel_lane_chunked_parity(self, rng, monkeypatch):
+        """Force the merged affine pool's lane-chunked regime (full-res
+        stage-1 shapes where whole-Z*C rows overflow scoped VMEM) and
+        check fwd + grads against the XLA reference, odd dims included."""
+        import functools as ft
+
+        from transmf_ad_tpu.ops import pool3d
+
+        orig = pool3d._zb_merged
+        for shape in [(2, 6, 8, 26, 8), (1, 5, 7, 31, 8)]:
+            C, Z = shape[-1], shape[-2]
+            assert 1 <= orig(shape[2], Z, C, 2, budget=16 * 1024) < Z // 2
+            y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+            s = jnp.asarray(rng.standard_normal(Z * C) * 0.5 + 1,
+                            jnp.float32)
+            b = jnp.asarray(rng.standard_normal(Z * C) * 0.1, jnp.float32)
+
+            def ref(yy, ss, bb):
+                z = yy.astype(jnp.float32) * ss.reshape(Z, C) \
+                    + bb.reshape(Z, C)
+                z = jnp.where(z >= 0, z, 0.01 * z).astype(yy.dtype)
+                return jax.lax.reduce_window(
+                    z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1),
+                    (1, 2, 2, 2, 1), "VALID")
+
+            def f_k(y, s, b):
+                o = pool3d.max_pool3d_2x2_affine_act(y, s, b, 0.01, True,
+                                                     True)
+                return jnp.vdot(o.astype(jnp.float32), g)
+
+            # unchunked run (small shapes fit): the tie-splitting oracle
+            out_1 = pool3d.max_pool3d_2x2_affine_act(y, s, b, 0.01, True,
+                                                     True)
+            g = jnp.asarray(rng.standard_normal(out_1.shape), jnp.float32)
+            dy1, ds1, db1 = jax.grad(f_k, argnums=(0, 1, 2))(y, s, b)
+
+            with monkeypatch.context() as m:
+                m.setattr(pool3d, "_zb_merged",
+                          ft.partial(orig, budget=16 * 1024))
+                out_c = pool3d.max_pool3d_2x2_affine_act(y, s, b, 0.01,
+                                                         True, True)
+                dyc, dsc, dbc = jax.grad(f_k, argnums=(0, 1, 2))(y, s, b)
+
+            # fwd: matches the XLA reference AND the unchunked kernel
+            np.testing.assert_array_equal(
+                np.asarray(out_c, np.float32),
+                np.asarray(ref(y, s, b), np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(out_c, np.float32), np.asarray(out_1, np.float32))
+            # bwd: same algorithm => dy matches the unchunked kernel
+            # BITWISE (identical equal-tie splitting); ds/db to f32
+            # accumulation order
+            assert bool(jnp.all(jnp.isfinite(dyc)))
+            np.testing.assert_array_equal(np.asarray(dyc, np.float32),
+                                          np.asarray(dy1, np.float32))
+            np.testing.assert_allclose(np.asarray(dsc), np.asarray(ds1),
+                                       rtol=2e-3, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(dbc), np.asarray(db1),
+                                       rtol=2e-3, atol=1e-3)
 
     def test_z_blocked_path_parity(self, rng, monkeypatch):
         """Force the pooled-z blocking (the full-resolution stage-1 route,

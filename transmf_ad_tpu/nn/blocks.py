@@ -132,15 +132,33 @@ class ConvBNAct(nn.Module):
             else:  # eval needs no batch statistics
                 y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
         elif use_stem and stem_structural and train:
-            # over-VMEM stem (full resolution): XLA conv forward, but the
-            # weight gradient + stats-cotangent assembly run in the
-            # z-blocked banded-MXU dw kernel (29 ms/modality of XLA VPU
-            # multiply-add otherwise at 182^3 — docs/PERFORMANCE.md)
-            from ..ops.stem import stem_conv_xstats
+            import os
 
-            y, st2 = stem_conv_xstats(xd[..., 0], kd[:, :, :, 0, :])
-            n = int(np.prod(y.shape[:-1]))
-            stats = (st2[0], st2[1], n)
+            from ..ops.stem import (stem_can_block, stem_conv_stats_blocked,
+                                    stem_conv_xstats)
+
+            Z = x.shape[3]
+            if (os.environ.get("TRANSMF_BLOCKED_STEM")
+                    and stem_can_block(Z, self.features)):
+                # A/B knob: fully-banded z-blocked stem fwd (merged-layout
+                # output + in-kernel per-lane stats) instead of the XLA
+                # conv. Changes the stage-end pool to the lane-chunked
+                # MERGED kernel (the output layout it wants).
+                y, st = stem_conv_stats_blocked(xd[..., 0],
+                                                kd[:, :, :, 0, :])
+                stc = st.reshape(2, Z, self.features).sum(axis=1)
+                n = int(np.prod(y.shape[:-1]))
+                stats = (stc[0], stc[1], n)
+                stem_ok = True  # merged-layout stage end (pool routing)
+            else:
+                # over-VMEM stem (full resolution): XLA conv forward, but
+                # the weight gradient + stats-cotangent assembly run in
+                # the z-blocked banded-MXU dw kernel (29 ms/modality of
+                # XLA VPU multiply-add otherwise at 182^3 —
+                # docs/PERFORMANCE.md)
+                y, st2 = stem_conv_xstats(xd[..., 0], kd[:, :, :, 0, :])
+                n = int(np.prod(y.shape[:-1]))
+                stats = (st2[0], st2[1], n)
         else:
             # Body convs stay XLA: its TPU 3D convs run at up to 183 TF/s
             # here and the Pallas body-conv kernel measurably loses

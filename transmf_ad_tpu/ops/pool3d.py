@@ -335,23 +335,42 @@ avg_pool3d_2x2.defvjp(_ap_fwd, _ap_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _zb_merged(Y, Z, C, itemsize, budget=12 * 1024 * 1024):
+    """pooled-z cols per merged-kernel block. Whole-Z rows when they fit
+    scoped VMEM (the round-2/3 layout — byte-identical paths); otherwise
+    lane chunks of 2*ZB*C, so full-resolution stage-1 tensors (Z=182,
+    C=32: 11.6 KB/row-lane) stop falling back to XLA select-and-scatter."""
+    Zp = max(Z // 2, 1)
+    if 8 * Y * max(Z * C, 128) * itemsize * 2 <= budget:
+        return Zp
+    zb = budget // (8 * Y * 2 * C * itemsize * 2)
+    return min(Zp, zb)  # 0 => even one chunk overflows: caller falls back
+
+
 def _mpa_fwd_kernel(x_ref, s_ref, b_ref, se_ref, so_ref, o_ref,
-                    *, Y, Zp, C, Xp, slope):
+                    *, ZB, C, slope):
     zs = []
     for r in (0, 1):
-        pre = (x_ref[0, r].astype(jnp.float32) * s_ref[0] + b_ref[0])
+        pre = (x_ref[0, r, :, : 2 * ZB * C].astype(jnp.float32)
+               * s_ref[0] + b_ref[0])
         zs.append(jnp.where(pre >= 0, pre, slope * pre).astype(o_ref.dtype))
     m = jnp.maximum(zs[0], zs[1])
-    mz = _zpair(m, Zp, C, jnp.maximum)
+    mz = _zpair(m, ZB, C, jnp.maximum)
     e = _dot(se_ref[...], mz)
     o = _dot(so_ref[...], mz)
     o_ref[0, 0] = jnp.maximum(e, o).astype(o_ref.dtype)
 
 
 def _mpa_bwd_kernel(x_ref, s_ref, b_ref, p_ref, g_ref, re_ref, se_ref,
-                    so_ref, dx_ref, dsb_ref, *, Y, Z, Zp, C, Xp, slope):
-    i = pl.program_id(1)
-    first = (pl.program_id(0) == 0) & (i == 0)
+                    so_ref, dx_ref, dsb_ref, *, Y, Zp, ZB, TLC, ZC, C, Xp,
+                    slope):
+    # TLC is the x/dx/s/b block lane extent: the whole Z*C (odd-z tail
+    # handled by the in-kernel zero concat — the single-block regime,
+    # byte-identical to round 3) or 2*ZB*C (lane-chunked; the partial last
+    # chunk is masked by lane validity). ZC = Z*C, the true lane count.
+    k = pl.program_id(0)
+    i = pl.program_id(2)
+    first = (pl.program_id(1) == 0) & (i == 0)
 
     @pl.when(first)
     def _():
@@ -359,43 +378,53 @@ def _mpa_bwd_kernel(x_ref, s_ref, b_ref, p_ref, g_ref, re_ref, se_ref,
 
     @pl.when(i < Xp)
     def _():
-        rep_p = _dot(re_ref[...], p_ref[0, 0])          # (Y, ZpC) f32
+        rep_p = _dot(re_ref[...], p_ref[0, 0])          # (Y, ZB*C) f32
         g = g_ref[0, 0]
+        # lane-validity masks (all-true in the single-block regime):
+        # window lanes past 2*Zp*C and raw lanes past Z*C are tail/padding
+        # whose reads can be garbage — WHEREs so 0*garbage can't leak NaN
+        colw = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * ZB * C), 1) \
+            + TLC * k
+        wvalid = colw < 2 * Zp * C
+        colx = jax.lax.broadcasted_iota(jnp.int32, (1, TLC), 1) + TLC * k
+        xvalid = colx < ZC
 
         pres, eqs = [], []
         for r in (0, 1):
-            t = x_ref[0, r].astype(jnp.float32)
+            t = x_ref[0, r].astype(jnp.float32)          # (Y, TLC)
             pre = t * s_ref[0] + b_ref[0]
             z = jnp.where(pre >= 0, pre, slope * pre).astype(
                 x_ref.dtype).astype(jnp.float32)        # fwd-identical round
             ze = jnp.concatenate(
-                [z[:, (2 * k) * C: (2 * k + 1) * C] for k in range(Zp)], 1)
+                [z[:, (2 * j) * C: (2 * j + 1) * C] for j in range(ZB)], 1)
             zo = jnp.concatenate(
-                [z[:, (2 * k + 1) * C: (2 * k + 2) * C] for k in range(Zp)],
+                [z[:, (2 * j + 1) * C: (2 * j + 2) * C] for j in range(ZB)],
                 1)
             pres.append(pre)
             eqs.append((ze == rep_p, zo == rep_p))
         msum = functools.reduce(
             jnp.add, [m.astype(x_ref.dtype) for pair in eqs for m in pair])
         cnt = _dot(se_ref[...], msum) + _dot(so_ref[...], msum)
-        gi = g.astype(jnp.float32) / cnt
+        gi = g.astype(jnp.float32) / jnp.maximum(cnt, 1.0)
         rep_g = _dot(re_ref[...], gi.astype(x_ref.dtype)).astype(jnp.float32)
 
-        tail = ([jnp.zeros((Y, (Z - 2 * Zp) * C), jnp.float32)]
-                if Z > 2 * Zp else [])
-        ds_acc = jnp.zeros((1, Z * C), jnp.float32)
-        db_acc = jnp.zeros((1, Z * C), jnp.float32)
+        tail = ([jnp.zeros((Y, TLC - 2 * ZB * C), jnp.float32)]
+                if TLC > 2 * ZB * C else [])
+        ds_acc = jnp.zeros((1, TLC), jnp.float32)
+        db_acc = jnp.zeros((1, TLC), jnp.float32)
         for r in (0, 1):
-            de = eqs[r][0] * rep_g                       # (Y, Zp*C) f32
+            de = eqs[r][0] * rep_g                       # (Y, ZB*C) f32
             do = eqs[r][1] * rep_g
             cols = []
-            for k in range(Zp):
-                cols.append(de[:, k * C: (k + 1) * C])
-                cols.append(do[:, k * C: (k + 1) * C])
-            dz = jnp.concatenate(cols + tail, axis=1)    # (Y, Z*C) f32
+            for j in range(ZB):
+                cols.append(de[:, j * C: (j + 1) * C])
+                cols.append(do[:, j * C: (j + 1) * C])
+            dz = jnp.where(wvalid, jnp.concatenate(cols, axis=1), 0.0)
+            if tail:
+                dz = jnp.concatenate([dz] + tail, axis=1)  # (Y, TLC)
             dpre = dz * jnp.where(pres[r] >= 0, 1.0, slope)
             dx_ref[0, r] = (dpre * s_ref[0]).astype(dx_ref.dtype)
-            t = x_ref[0, r].astype(jnp.float32)
+            t = jnp.where(xvalid, x_ref[0, r].astype(jnp.float32), 0.0)
             ds_acc += jnp.sum(dpre * t, axis=0, keepdims=True)
             db_acc += jnp.sum(dpre, axis=0, keepdims=True)
         dsb_ref[0:1] += ds_acc
@@ -417,7 +446,9 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
     pooled activated tensor; gradients flow to y AND the lane vectors.
     """
     b, X, Y, Z, C = y.shape
-    if not _use_pallas(y, use_pallas) and not interpret:
+    ZB = _zb_merged(Y, Z, C, y.dtype.itemsize)
+    if (not _use_pallas_bc(y, use_pallas) and not interpret) \
+            or min(X, Y, Z) < 2 or ZB < 1:
         z = y.astype(jnp.float32) * s_lanes.reshape(Z, C) + \
             b_lanes.reshape(Z, C)
         z = jnp.where(z >= 0, z, slope * z).astype(y.dtype)
@@ -425,24 +456,27 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
             z, -jnp.inf, jax.lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1),
             "VALID")
     Xp, Yp, Zp = X // 2, Y // 2, Z // 2
+    nk = -(-Zp // ZB)
     interpret = auto_interpret(interpret)
     y2 = y.reshape(b, X, Y, Z * C)
     se, so, _ = _sel_matrices(Y, y.dtype)
     out = pl.pallas_call(
-        functools.partial(_mpa_fwd_kernel, Y=Y, Zp=Zp, C=C, Xp=Xp,
-                          slope=slope),
+        functools.partial(_mpa_fwd_kernel, ZB=ZB, C=C, slope=slope),
         out_shape=out_struct((b, Xp, Yp, Zp * C), y.dtype, y2),
-        grid=(b, Xp),
+        grid=(b, Xp, nk),
         in_specs=[
-            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 2, Y, 2 * ZB * C),
+                         lambda bi, i, k: (bi, i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * ZB * C), lambda bi, i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * ZB * C), lambda bi, i, k: (0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, Yp, Zp * C),
-                               lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, Yp, ZB * C),
+                               lambda bi, i, k: (bi, i, 0, k),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(y2, s_lanes.reshape(1, Z * C).astype(jnp.float32),
@@ -460,7 +494,9 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
     y, s_lanes, b_lanes, p = res
     b, X, Y, Z, C = y.shape
     Xp, Yp, Zp = X // 2, Y // 2, Z // 2
-    if not _use_pallas(y, use_pallas) and not interpret:
+    ZB = _zb_merged(Y, Z, C, y.dtype.itemsize)
+    if (not _use_pallas_bc(y, use_pallas) and not interpret) \
+            or min(X, Y, Z) < 2 or ZB < 1:
         def f(yy, ss, bb):  # inline reference (NOT the custom_vjp op)
             z = yy.astype(jnp.float32) * ss.reshape(Z, C) + bb.reshape(Z, C)
             z = jnp.where(z >= 0, z, slope * z).astype(yy.dtype)
@@ -472,36 +508,49 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
         dy, ds, db = vjp(g)
         return dy, reduce_ct(ds, s_lanes), reduce_ct(db, b_lanes)
     interpret = auto_interpret(interpret)
+    nk = -(-Zp // ZB)
+    tlc = Z * C if nk == 1 else 2 * ZB * C
     y2 = y.reshape(b, X, Y, Z * C)
     p2 = p.reshape(b, Xp, Yp, Zp * C)
     g2 = g.reshape(b, Xp, Yp, Zp * C).astype(y.dtype)
     se, so, re = _sel_matrices(Y, y.dtype)
     gx = X - 2 * Xp
+    # dx must cover ALL lanes: in the chunked regime an odd-z tail gets
+    # extra masked blocks (input maps clamp to the last real chunk)
+    nk_out = max(nk, -(-(Z * C) // tlc))
     dx, dsb = pl.pallas_call(
-        functools.partial(_mpa_bwd_kernel, Y=Y, Z=Z, Zp=Zp, C=C, Xp=Xp,
-                          slope=slope),
+        functools.partial(_mpa_bwd_kernel, Y=Y, Zp=Zp, ZB=ZB, TLC=tlc,
+                          ZC=Z * C, C=C, Xp=Xp, slope=slope),
         out_shape=[out_struct((b, X, Y, Z * C), y.dtype, y2, g2),
                    out_struct((2, Z * C), jnp.float32, y2, g2)],
-        grid=(b, Xp + gx),
+        grid=(nk_out, b, Xp + gx),
         in_specs=[
-            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 2, Y, tlc),
+                         lambda k, bi, i: (bi, i, 0,
+                                           jnp.minimum(k, nk - 1)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Yp, Zp * C),
-                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+            pl.BlockSpec((1, tlc), lambda k, bi, i: (0,
+                                                     jnp.minimum(k, nk - 1)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Yp, Zp * C),
-                         lambda bi, i: (bi, jnp.minimum(i, Xp - 1), 0, 0),
+            pl.BlockSpec((1, tlc), lambda k, bi, i: (0,
+                                                     jnp.minimum(k, nk - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Yp, ZB * C),
+                         lambda k, bi, i: (bi, jnp.minimum(i, Xp - 1), 0,
+                                           jnp.minimum(k, nk - 1)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Yp, ZB * C),
+                         lambda k, bi, i: (bi, jnp.minimum(i, Xp - 1), 0,
+                                           jnp.minimum(k, nk - 1)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, Y, Z * C), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 2, Y, tlc), lambda k, bi, i: (bi, i, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, Z * C), lambda bi, i: (0, 0),
+            pl.BlockSpec((2, tlc), lambda k, bi, i: (0, k),
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,

@@ -405,11 +405,11 @@ def _stem_dw_blocked_kernel(x0_ref, x1_ref, x2_ref, y_ref, gy_ref, ab_ref,
     )
 
 
-def _stem_dw_blocked_pallas(x, y, gy, a_ch, b_ch, interpret=False):
+def _stem_dw_blocked_pallas(x, y, gy, a_t, b_t, interpret=False):
     """dw (3,3,3,C) from input x (B,X,Y,Z), conv output y (B,X,Y,Z,C),
-    direct cotangent gy, and PER-CHANNEL stats-cotangent terms
-    (yhat = gy + a_ch + b_ch * y), with the band accumulator blocked
-    over z so full-resolution volumes fit scoped VMEM."""
+    direct cotangent gy, and stats-cotangent terms — PER-CHANNEL (C,) or
+    PER-LANE (Z*C,) — (yhat = gy + a + b * y), with the band accumulator
+    blocked over z so full-resolution volumes fit scoped VMEM."""
     b, X, Y, Z = x.shape
     C = y.shape[-1]
     tz = _pick_tz(Z, C)
@@ -427,14 +427,19 @@ def _stem_dw_blocked_pallas(x, y, gy, a_ch, b_ch, interpret=False):
         zero = ((0, 0),) * 3
         y2 = jnp.pad(y2, (*zero, padl))
         g2 = jnp.pad(g2, (*zero, padl))
-    # per-channel cotangent terms tiled over ALL z_out lanes, zeroed on the
-    # padded tail so phantom lanes contribute yhat = 0 + (0 + 0*b) = 0
-    # exactly (y2/g2 are zero there but `a` alone would leak otherwise);
-    # each grid step reads its own (2, tz*C) chunk
-    ab = jnp.stack([jnp.tile(a_ch, Zo), jnp.tile(b_ch, Zo)])
-    if Zo != Z:
-        lanes = jnp.arange(Zo * C) < Z * C
-        ab = jnp.where(lanes[None, :], ab, 0.0)
+    # cotangent terms over ALL z_out lanes, zeroed on the padded tail so
+    # phantom lanes contribute yhat = 0 + (0 + 0*b) = 0 exactly (y2/g2
+    # are zero there but `a` alone would leak otherwise); each grid step
+    # reads its own (2, tz*C) chunk
+    if a_t.shape == (C,):
+        ab = jnp.stack([jnp.tile(a_t, Zo), jnp.tile(b_t, Zo)])
+        if Zo != Z:
+            lanes = jnp.arange(Zo * C) < Z * C
+            ab = jnp.where(lanes[None, :], ab, 0.0)
+    else:  # per-lane (Z*C,): zero-pad the tail
+        ab = jnp.stack([a_t, b_t])
+        if Zo != Z:
+            ab = jnp.pad(ab, ((0, 0), (0, (Zo - Z) * C)))
     ab = ab.astype(jnp.float32)
 
     def row_spec(off):
@@ -523,3 +528,131 @@ def _xs_bwd(use_pallas, interpret, res, cot):
 
 
 stem_conv_xstats.defvjp(_xs_fwd, _xs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Z-BLOCKED banded-MXU stem forward + in-kernel statistics
+#
+# The banded forward formulation (top of this module) blocked over z_out
+# chunks of `tz` lanes: each grid step contracts the (Y, 9*(tz+2)) window
+# packing against a LOCAL band R_loc = _build_band(w, tz) — identical for
+# every chunk, because a chunk's padded z_in window starts exactly tz
+# before its z_out start, so local offsets match the global band layout.
+# Σ/Σ² accumulate per lane chunk in VMEM. Output stays in the merged
+# (B, X, Y, Z*C) layout the (now lane-chunkable) merged pool consumes.
+# Requires tz | Z (a divisor; _pick_tz prefers one) so no padded z_out
+# columns exist. A/B-gated in nn/blocks.py (TRANSMF_BLOCKED_STEM).
+# ---------------------------------------------------------------------------
+
+
+def stem_can_block(Z: int, C: int) -> bool:
+    """True when a divisor chunk size exists (no-pad blocked forward)."""
+    tz = _pick_tz(Z, C)
+    return Z % tz == 0 and tz < Z
+
+
+def _stem_blocked_kernel(x0_ref, x1_ref, x2_ref, r_ref, o_ref, st_ref,
+                         lhs_ref, *, Y, TZ):
+    first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    zpw = TZ + 2
+    for dx, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        for dy in range(3):
+            k = dx * 3 + dy
+            lhs_ref[:, k * zpw: (k + 1) * zpw] = x_ref[0, 0, 0, dy: dy + Y, :]
+    acc = jax.lax.dot_general(
+        lhs_ref[...], r_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    st_ref[0:1] += jnp.sum(acc, axis=0, keepdims=True)
+    st_ref[1:2] += jnp.sum(acc * acc, axis=0, keepdims=True)
+
+
+def _stem_stats_blocked_pallas(x, w, interpret=False):
+    b, X, Y, Z = x.shape
+    C = w.shape[-1]
+    tz = _pick_tz(Z, C)
+    nzb = Z // tz
+    zpw = tz + 2
+    r = _build_band(w.astype(jnp.float32), tz).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    xw = jnp.stack([xp[..., zb * tz: zb * tz + zpw] for zb in range(nzb)])
+
+    def row_spec(off):
+        return pl.BlockSpec((1, 1, 1, Y + 2, zpw),
+                            lambda zb, bi, i: (zb, bi, i + off, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    y, st = pl.pallas_call(
+        functools.partial(_stem_blocked_kernel, Y=Y, TZ=tz),
+        out_shape=[out_struct((b, X, Y, Z * C), x.dtype, x),
+                   out_struct((2, Z * C), jnp.float32, x)],
+        grid=(nzb, b, X),
+        in_specs=[
+            row_spec(0), row_spec(1), row_spec(2),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Y, tz * C),
+                         lambda zb, bi, i: (bi, i, 0, zb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tz * C), lambda zb, bi, i: (0, zb),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Y, 9 * zpw), x.dtype)],
+        interpret=interpret,
+    )(xw, xw, xw, r)
+    return y.reshape(b, X, Y, Z, C), st
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def stem_conv_stats_blocked(x, w, use_pallas=True, interpret=False):
+    """Z-blocked banded stem conv + per-lane stats for over-VMEM volumes.
+
+    Same contract as `stem_conv_stats` — (B,X,Y,Z) -> ((B,X,Y,Z,C),
+    (2, Z*C) f32 [Σ, Σ²]) — but gridded over z chunks so 182^3-class
+    inputs fit scoped VMEM. Backward: z-blocked banded dw with the
+    per-lane stats-cotangent assembly fused (`_stem_dw_blocked_pallas`).
+    """
+    if not use_pallas:
+        return _stem_stats_reference(x, w)
+    return _stem_stats_blocked_pallas(x, w, interpret=auto_interpret(interpret))
+
+
+def _sb_fwd(x, w, use_pallas, interpret):
+    y, st = stem_conv_stats_blocked(x, w, use_pallas, interpret)
+    return (y, st), (x, w, y)
+
+
+def _sb_bwd(use_pallas, interpret, res, cot):
+    x, w, y = res
+    gy, gst = cot
+    g0 = gst[0]
+    g1 = 2.0 * gst[1]
+    if use_pallas:
+        dw = _stem_dw_blocked_pallas(
+            x, y, gy, g0, g1,
+            interpret=auto_interpret(interpret)).astype(w.dtype)
+    else:
+        Z, C = y.shape[-2], y.shape[-1]
+        yhat_w = (gy.astype(y.dtype) +
+                  (g0.reshape(Z, C) + y.astype(jnp.float32)
+                   * g1.reshape(Z, C)).astype(y.dtype))
+        (dw,) = jax.linear_transpose(lambda ww: _conv_reference(x, ww), w)(
+            yhat_w.astype(w.dtype))
+    Z, C = y.shape[-2], y.shape[-1]
+    yhat = (gy.astype(y.dtype) +
+            (g0.reshape(Z, C) + y.astype(jnp.float32)
+             * g1.reshape(Z, C)).astype(y.dtype))
+    # dx is dead code in training (the stem consumes the input volume)
+    (dx,) = jax.linear_transpose(lambda xx: _conv_reference(xx, w), x)(
+        yhat.astype(x.dtype))
+    return dx, reduce_ct(dw, w)
+
+
+stem_conv_stats_blocked.defvjp(_sb_fwd, _sb_bwd)
