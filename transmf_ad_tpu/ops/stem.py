@@ -59,11 +59,11 @@ def stem_fits(spatial, C, itemsize=2, budget=14 * 1024 * 1024):
     Each forward program holds the whole padded volume block, the full
     (9*(Z+2), Z*C) band, the lhs scratch and an f32 accumulator row; the
     dw backward holds the f32 band-shaped T accumulator plus y/gy rows.
-    Sized for the reference geometries (91x109x91 -> ~12 MB worst case);
-    full-resolution 182^3 needs ~65 MB and must fall back to the XLA conv
-    (whose stage end still uses the conv-native-layout Pallas pool).
-    A winning full-res stem kernel would need Z-blocked bands —
-    unimplemented (docs/PERFORMANCE.md)."""
+    Sized for the reference geometries (91x109x91 -> ~12 MB worst case).
+    Over-budget shapes (full-resolution 182^3 needs ~65 MB) route to the
+    Z-BLOCKED variants instead: XLA conv forward + `stem_conv_xstats`'s
+    blocked banded dw (training default), or the fully-banded
+    `stem_conv_stats_blocked` forward (TRANSMF_BLOCKED_STEM A/B knob)."""
     X, Y, Z = spatial
     band = 9 * (Z + 2) * Z * C * itemsize
     fwd = ((X + 2) * (Y + 2) * (Z + 2) * itemsize + band
