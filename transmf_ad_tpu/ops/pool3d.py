@@ -349,10 +349,12 @@ def _zb_merged(Y, Z, C, itemsize, budget=12 * 1024 * 1024):
 
 def _mpa_fwd_kernel(x_ref, s_ref, b_ref, se_ref, so_ref, o_ref,
                     *, ZB, C, slope):
+    # the block lane extent is Z*C (single-block regime: identical
+    # computation to the round-2 kernel; _zpair reads only the first
+    # 2*ZB*C lanes) or 2*ZB*C (lane-chunked regime)
     zs = []
     for r in (0, 1):
-        pre = (x_ref[0, r, :, : 2 * ZB * C].astype(jnp.float32)
-               * s_ref[0] + b_ref[0])
+        pre = (x_ref[0, r].astype(jnp.float32) * s_ref[0] + b_ref[0])
         zs.append(jnp.where(pre >= 0, pre, slope * pre).astype(o_ref.dtype))
     m = jnp.maximum(zs[0], zs[1])
     mz = _zpair(m, ZB, C, jnp.maximum)
@@ -457,6 +459,7 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
             "VALID")
     Xp, Yp, Zp = X // 2, Y // 2, Z // 2
     nk = -(-Zp // ZB)
+    tlc = Z * C if nk == 1 else 2 * ZB * C
     interpret = auto_interpret(interpret)
     y2 = y.reshape(b, X, Y, Z * C)
     se, so, _ = _sel_matrices(Y, y.dtype)
@@ -465,12 +468,12 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
         out_shape=out_struct((b, Xp, Yp, Zp * C), y.dtype, y2),
         grid=(b, Xp, nk),
         in_specs=[
-            pl.BlockSpec((1, 2, Y, 2 * ZB * C),
+            pl.BlockSpec((1, 2, Y, tlc),
                          lambda bi, i, k: (bi, i, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * ZB * C), lambda bi, i, k: (0, k),
+            pl.BlockSpec((1, tlc), lambda bi, i, k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * ZB * C), lambda bi, i, k: (0, k),
+            pl.BlockSpec((1, tlc), lambda bi, i, k: (0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
