@@ -32,8 +32,8 @@ STEPS = int(os.environ.get("SANITY_STEPS", 40))
 BLOCKED_SHAPE = (16, 16, 384)
 
 
-def overfit(batch, dim, steps, lr=1e-4, remat=False):
-    model = build_model("ad", dim=dim, depth=1, heads=2,
+def overfit(batch, dim, steps, lr=1e-4, remat=False, depth=1, heads=2):
+    model = build_model("ad", dim=dim, depth=depth, heads=heads,
                         dtype=jnp.bfloat16, remat=remat)
     tx, _ = build_optimizer("Adam", lr, steps_per_epoch=1)
     state = create_state(
@@ -67,21 +67,7 @@ def main():
     rng = np.random.default_rng(0)
     batch = make_batch(rng, B, SHAPE)
     # flagship geometry, full production kernel set (dim 128, depth 3)
-    model = build_model("ad", dim=128, depth=3, heads=4, dtype=jnp.bfloat16)
-    tx, _ = build_optimizer("Adam", 1e-4, steps_per_epoch=1)
-    state = create_state(
-        model, tx, [batch["MRI"][..., None], batch["PET"][..., None]],
-        jax.random.key(0))
-    step = make_train_step(("MRI", "PET"), adversarial=True, aug_cfg=None,
-                           donate=False)
-    key = jax.random.key(1)
-    losses = []
-    for i in range(STEPS):
-        state, aux = step(state, batch, key)
-        if i in (0, 1, STEPS // 2, STEPS - 1):
-            losses.append((i, float(aux["ce_loss"])))
-            print(f"step {i:3d}  ce={losses[-1][1]:.4f}", flush=True)
-    first, last = losses[0][1], losses[-1][1]
+    first, last = overfit(batch, dim=128, steps=STEPS, depth=3, heads=4)
     assert np.isfinite(last), "loss went non-finite"
     assert last < first * 0.5, f"no learning: {first:.4f} -> {last:.4f}"
     print(f"OK: ce {first:.4f} -> {last:.4f} over {STEPS} steps")

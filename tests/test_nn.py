@@ -404,6 +404,8 @@ class TestStemXStatsBlockedDw:
         C = 32
         tz = _pick_tz(Z, C)
         assert tz < Z  # the test must actually exercise z-blocking
+        if Z == 37:  # prime: no non-sliver divisor -> the PADDED regime
+            assert tz == 32 and (-(-Z // tz)) * tz != Z
         x = jnp.asarray(rng.standard_normal((2, 5, 6, Z)), jnp.float32)
         w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.1,
                         jnp.float32)

@@ -373,11 +373,14 @@ def _stem_dw_pallas(x, y, gy, a_lanes, b_lanes, interpret=False):
 def _pick_tz(Z: int, C: int, target_lanes: int = 1024,
              budget: int = 6 * 1024 * 1024) -> int:
     """z-chunk size: ~target_lanes merged lanes per block, T block under
-    `budget`, preferring divisors of Z (no lane padding of y/gy)."""
+    `budget`, preferring divisors of Z (no lane padding of y/gy) — but
+    never a sliver divisor: chunks below tz_max/2 (e.g. tz=1 for prime Z)
+    would explode the grid into tiny dots; the no-divisor case instead
+    pads z_out to nzb*tz (the Zo != Z machinery below)."""
     tz = max(1, min(Z, target_lanes // max(C, 1)))
     while tz > 1 and 9 * (tz + 2) * tz * C * 4 > budget:
         tz -= 1
-    for d in range(tz, 0, -1):
+    for d in range(tz, max(tz // 2, 1), -1):
         if Z % d == 0:
             return d
     return tz
@@ -509,6 +512,10 @@ def _xs_bwd(use_pallas, interpret, res, cot):
     gy, gst = cot
     a_ch = gst[0]
     b_ch = 2.0 * gst[1]
+    # sliver chunks (huge C forcing tz < 4) would explode the dw grid
+    # into tiny dots — the XLA multiply-add is the better loss there
+    if use_pallas and _pick_tz(x.shape[3], y.shape[-1]) < 4:
+        use_pallas = False
     if use_pallas:
         dw = _stem_dw_blocked_pallas(
             x, y, gy, a_ch, b_ch,
@@ -546,9 +553,10 @@ stem_conv_xstats.defvjp(_xs_fwd, _xs_bwd)
 
 
 def stem_can_block(Z: int, C: int) -> bool:
-    """True when a divisor chunk size exists (no-pad blocked forward)."""
+    """True when a non-sliver divisor chunk size exists (the blocked
+    forward needs tz | Z — no padded z_out columns)."""
     tz = _pick_tz(Z, C)
-    return Z % tz == 0 and tz < Z
+    return Z % tz == 0 and 4 <= tz < Z
 
 
 def _stem_blocked_kernel(x0_ref, x1_ref, x2_ref, r_ref, o_ref, st_ref,
