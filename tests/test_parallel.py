@@ -127,11 +127,11 @@ class TestShardMapKernels:
     exact kernel call graph the TPU runs, sharded."""
 
     def _run_pair(self, rng, model_name, model_kw, batch=8, shape=(16, 16, 16),
-                  aug_cfg=None, n_data=4, model_parallel=True):
+                  aug_cfg=None, n_data=4, model_parallel=True, dim=8):
         from transmf_ad_tpu.data.transforms import AugmentConfig
 
         adversarial = model_name in ("cnn_ad", "ad")
-        mk = dict(dim=8, use_pallas=True, **model_kw)
+        mk = dict(dim=dim, use_pallas=True, **model_kw)
         batch_d = {
             "MRI": rng.standard_normal((batch, *shape)).astype(np.float32),
             "PET": rng.standard_normal((batch, *shape)).astype(np.float32),
@@ -193,6 +193,27 @@ class TestShardMapKernels:
         np.testing.assert_allclose(np.asarray(aux1["logits"]),
                                    np.asarray(aux2["logits"]),
                                    atol=1e-5, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-3)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                        jax.tree_util.tree_leaves(s2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_over_vmem_regime_sharded_matches_single(self, rng):
+        """The full-resolution routing (over-stem_fits geometry: XLA stem
+        fwd + z-blocked banded dw + z-blocked bc pool) composed with
+        shard_map: sharded grads/stats must equal the single-device run."""
+        from transmf_ad_tpu.ops.stem import stem_fits
+
+        assert not stem_fits((8, 8, 384), 8)  # dim=32 -> stem C=8
+        (s1, aux1), (s2, aux2) = self._run_pair(
+            rng, "cnn_ad", {}, batch=2, shape=(8, 8, 384), n_data=2,
+            model_parallel=False, dim=32)
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                                   rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                         jax.tree_util.tree_leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
