@@ -55,6 +55,17 @@ class TestKFoldSingle:
         assert "************Final Results************" in main_log
         assert "acc:" in main_log and "+-" in main_log
 
+    def test_fold_subset_flag(self, adni_root, tmp_path):
+        """--folds runs only the listed folds against the SAME KFold
+        layout (parallelize folds across hosts / redo one fold)."""
+        opt = _opt(adni_root, tmp_path, model="CNN", folds="1")
+        res = run_kfold(opt, variant="single")
+        assert len(res["folds"]) == 1
+        root = os.path.join(opt.checkpoints_dir, opt.name)
+        assert os.path.exists(os.path.join(root, "1", "log.txt"))
+        assert not os.path.exists(os.path.join(root, "0"))
+        assert not os.path.exists(os.path.join(root, "2"))
+
     def test_task_seeds_match_reference(self, adni_root):
         assert task_seed(Options(task="ADCN")) == 42
         assert task_seed(Options(task="pMCIsMCI")) == 996

@@ -148,8 +148,12 @@ def run_kfold(opt: Options, variant: str = "adversarial",
     print(f"The random seed is {seed}")
     kf = KFold(n_splits=opt.num_folds, shuffle=True, random_state=seed)
 
+    fold_subset = (None if not opt.folds else
+                   {int(f) for f in str(opt.folds).split(",") if f != ""})
     results = []
     for fold, (train_idx, test_idx) in enumerate(kf.split(np.arange(len(data)))):
+        if fold_subset is not None and fold not in fold_subset:
+            continue  # same split layout; this host only trains its folds
         logger_main.print_message(f"************Fold {fold}************")
         train_idx, val_idx = train_test_split(train_idx, test_size=0.2,
                                               random_state=seed)
