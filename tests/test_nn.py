@@ -397,6 +397,17 @@ class TestStemXStatsBlockedDw:
         np.testing.assert_allclose(np.asarray(st), np.asarray(str_),
                                    rtol=1e-5)
 
+    def test_pick_tz_lane_alignment(self):
+        """tz*C must be a multiple of 128 whenever tz < Z: Mosaic rejects
+        misaligned lane blocks on real TPU (Z=182's divisor 26 gave an
+        832-lane block that failed lowering; interpret mode passed)."""
+        from transmf_ad_tpu.ops.stem import _pick_tz
+
+        for Z in (182, 91, 109, 218, 37, 40, 384, 16, 79, 128):
+            tz = _pick_tz(Z, 32)
+            assert tz == Z or (tz * 32) % 128 == 0, (Z, tz)
+        assert _pick_tz(182, 32) == 32  # padded regime, not divisor 26
+
     @pytest.mark.parametrize("Z", [40, 37])  # divisor chunking / lane pad
     def test_grad_parity_blocked(self, rng, Z):
         from transmf_ad_tpu.ops.stem import _pick_tz, stem_conv_xstats
@@ -946,9 +957,17 @@ class TestBcPoolFused:
         from transmf_ad_tpu.ops import pool3d
 
         orig = pool3d._zb_merged
+
+        # real-TPU chunked regime (align=True, the default) must emit a
+        # 128-aligned lane block — Mosaic rejects anything else and
+        # interpret mode would not catch it (observed at 182^3 on-device)
+        zb_full = orig(218, 182, 32, 2)
+        assert 1 <= zb_full < 91 and (zb_full * 32) % 128 == 0
+
         for shape in [(2, 6, 8, 26, 8), (1, 5, 7, 31, 8)]:
             C, Z = shape[-1], shape[-2]
-            assert 1 <= orig(shape[2], Z, C, 2, budget=16 * 1024) < Z // 2
+            assert 1 <= orig(shape[2], Z, C, 2, budget=16 * 1024,
+                             align=False) < Z // 2
             y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
             s = jnp.asarray(rng.standard_normal(Z * C) * 0.5 + 1,
                             jnp.float32)

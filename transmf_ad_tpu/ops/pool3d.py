@@ -27,6 +27,7 @@ reference: pooling layers of sNet (reference: models/networks.py:26,33,41,49).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -335,7 +336,7 @@ avg_pool3d_2x2.defvjp(_ap_fwd, _ap_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _zb_merged(Y, Z, C, itemsize, budget=12 * 1024 * 1024):
+def _zb_merged(Y, Z, C, itemsize, budget=12 * 1024 * 1024, align=True):
     """pooled-z cols per merged-kernel block. Whole-Z rows when they fit
     scoped VMEM (the round-2/3 layout — byte-identical paths); otherwise
     lane chunks of 2*ZB*C, so full-resolution stage-1 tensors (Z=182,
@@ -344,6 +345,13 @@ def _zb_merged(Y, Z, C, itemsize, budget=12 * 1024 * 1024):
     if 8 * Y * max(Z * C, 128) * itemsize * 2 <= budget:
         return Zp
     zb = budget // (8 * Y * 2 * C * itemsize * 2)
+    if align and zb < Zp:
+        # lane-chunked regime on real TPU: the ZB*C output block does not
+        # span the array, so Mosaic requires it % 128 == 0 — snap down
+        # (0 => caller falls back). Interpret mode has no such constraint
+        # (align=False keeps small-shape chunked tests exercisable).
+        q = 128 // math.gcd(C, 128)
+        zb = (zb // q) * q
     return min(Zp, zb)  # 0 => even one chunk overflows: caller falls back
 
 
@@ -448,7 +456,8 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
     pooled activated tensor; gradients flow to y AND the lane vectors.
     """
     b, X, Y, Z, C = y.shape
-    ZB = _zb_merged(Y, Z, C, y.dtype.itemsize)
+    ZB = _zb_merged(Y, Z, C, y.dtype.itemsize,
+                    align=not auto_interpret(interpret))
     if (not _use_pallas_bc(y, use_pallas) and not interpret) \
             or min(X, Y, Z) < 2 or ZB < 1:
         z = y.astype(jnp.float32) * s_lanes.reshape(Z, C) + \
@@ -497,7 +506,8 @@ def _mpa_bwd(slope, use_pallas, interpret, res, g):
     y, s_lanes, b_lanes, p = res
     b, X, Y, Z, C = y.shape
     Xp, Yp, Zp = X // 2, Y // 2, Z // 2
-    ZB = _zb_merged(Y, Z, C, y.dtype.itemsize)
+    ZB = _zb_merged(Y, Z, C, y.dtype.itemsize,
+                    align=not auto_interpret(interpret))
     if (not _use_pallas_bc(y, use_pallas) and not interpret) \
             or min(X, Y, Z) < 2 or ZB < 1:
         def f(yy, ss, bb):  # inline reference (NOT the custom_vjp op)

@@ -26,6 +26,7 @@ contractions are MXU-friendly: K = 27*C).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -376,11 +377,24 @@ def _pick_tz(Z: int, C: int, target_lanes: int = 1024,
     `budget`, preferring divisors of Z (no lane padding of y/gy) — but
     never a sliver divisor: chunks below tz_max/2 (e.g. tz=1 for prime Z)
     would explode the grid into tiny dots; the no-divisor case instead
-    pads z_out to nzb*tz (the Zo != Z machinery below)."""
+    pads z_out to nzb*tz (the Zo != Z machinery below).
+
+    Mosaic lane-block constraint: a lane block that does not span the
+    whole array must have extent % 128 == 0, so tz*C must be a multiple
+    of 128 whenever tz < Z (e.g. Z=182, C=32: the divisor 26 gives an
+    832-lane block that FAILS TPU lowering — interpret mode does not
+    catch this). tz is therefore snapped to multiples of
+    q = 128/gcd(C, 128); Z=182 lands on tz=32 via the padded regime."""
     tz = max(1, min(Z, target_lanes // max(C, 1)))
     while tz > 1 and 9 * (tz + 2) * tz * C * 4 > budget:
         tz -= 1
-    for d in range(tz, max(tz // 2, 1), -1):
+    if tz >= Z:
+        return Z  # single block: lane extent == array extent, no snap
+    q = 128 // math.gcd(C, 128)
+    tz = (tz // q) * q
+    if tz < q:
+        return 1  # sliver: callers gate this to the XLA fallback
+    for d in range(tz, max(tz // 2, q - 1), -q):
         if Z % d == 0:
             return d
     return tz
