@@ -500,6 +500,43 @@ class TestStemXStatsBlockedDw:
         np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_blocked_stem_clipped_tail_parity(self, rng):
+        """Clipped-tail regime: non-divisor Z (44 with 128-aligned tz=32)
+        zero-pads z_in to nzb*tz; the tail block's phantom output/stat
+        lanes are dropped by Pallas on write. fwd + custom bwd must match
+        the XLA reference exactly like the divisor regime."""
+        from transmf_ad_tpu.ops.stem import (_pick_tz, stem_can_block,
+                                             stem_conv_stats_blocked)
+
+        Z, C = 44, 32
+        tz = _pick_tz(Z, C)
+        assert stem_can_block(Z, C) and Z % tz != 0  # the clipped regime
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, Z)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.1,
+                        jnp.float32)
+        y, st = stem_conv_stats_blocked(x, w, True, True)
+        yr, str_ = TestStemXStatsBlockedDw._ref_lane(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st), np.asarray(str_),
+                                   rtol=1e-3, atol=1e-2)
+
+        gst = jnp.asarray(rng.standard_normal((2, Z * C)) * 0.1, jnp.float32)
+
+        def lp(x, w):
+            y, st = stem_conv_stats_blocked(x, w, True, True)
+            return jnp.sum(y ** 2) + jnp.vdot(st, gst)
+
+        def lr(x, w):
+            y, st = TestStemXStatsBlockedDw._ref_lane(x, w)
+            return jnp.sum(y ** 2) + jnp.vdot(st, gst)
+
+        dxp, dwp = jax.grad(lp, argnums=(0, 1))(x, w)
+        dxr, dwr = jax.grad(lr, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dwp), np.asarray(dwr),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_convbnact_blocked_stem_env_matches_xla(self, rng, monkeypatch):
         """ConvBNAct with TRANSMF_BLOCKED_STEM=1 on an over-budget shape
         (banded blocked fwd + merged pool) matches use_stem_kernel=False."""
@@ -508,6 +545,36 @@ class TestStemXStatsBlockedDw:
         monkeypatch.setenv("TRANSMF_BLOCKED_STEM", "1")
         x = jnp.asarray(rng.standard_normal((1, 6, 6, 384, 1)), jnp.float32)
         assert not stem_fits((6, 6, 384), 8) and stem_can_block(384, 8)
+        blk_k = tnn.ConvBNAct(8, pool="max", use_stem_kernel=True)
+        blk_x = tnn.ConvBNAct(8, pool="max", use_stem_kernel=False)
+        v = blk_k.init(jax.random.key(0), x, True)
+
+        def loss(params, blk):
+            out, _ = blk.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        lk, gk = jax.value_and_grad(loss)(v["params"], blk_k)
+        lx, gx = jax.value_and_grad(loss)(v["params"], blk_x)
+        np.testing.assert_allclose(float(lk), float(lx), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-3)
+
+    def test_convbnact_blocked_stem_clipped_tail_matches_xla(
+            self, rng, monkeypatch):
+        """ConvBNAct routing through the CLIPPED-TAIL blocked regime
+        (over-VMEM Z=399 has no 128-aligned divisor chunk -> tz=128,
+        Zo=512) matches use_stem_kernel=False end to end."""
+        from transmf_ad_tpu.ops.stem import (_pick_tz, stem_can_block,
+                                             stem_fits)
+
+        monkeypatch.setenv("TRANSMF_BLOCKED_STEM", "1")
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 399, 1)), jnp.float32)
+        assert (not stem_fits((6, 6, 399), 8) and stem_can_block(399, 8)
+                and 399 % _pick_tz(399, 8) != 0)
         blk_k = tnn.ConvBNAct(8, pool="max", use_stem_kernel=True)
         blk_x = tnn.ConvBNAct(8, pool="max", use_stem_kernel=False)
         v = blk_k.init(jax.random.key(0), x, True)

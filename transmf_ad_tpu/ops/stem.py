@@ -561,16 +561,19 @@ stem_conv_xstats.defvjp(_xs_fwd, _xs_bwd)
 # before its z_out start, so local offsets match the global band layout.
 # Σ/Σ² accumulate per lane chunk in VMEM. Output stays in the merged
 # (B, X, Y, Z*C) layout the (now lane-chunkable) merged pool consumes.
-# Requires tz | Z (a divisor; _pick_tz prefers one) so no padded z_out
-# columns exist. A/B-gated in nn/blocks.py (TRANSMF_BLOCKED_STEM).
+# Non-divisor Z (e.g. 182 with 128-aligned tz=32) zero-pads z_in and
+# relies on Pallas clipping the tail block's out-of-bounds output/stat
+# lanes on write. Routing in nn/blocks.py (TRANSMF_BLOCKED_STEM knob).
 # ---------------------------------------------------------------------------
 
 
 def stem_can_block(Z: int, C: int) -> bool:
-    """True when a non-sliver divisor chunk size exists (the blocked
-    forward needs tz | Z — no padded z_out columns)."""
+    """True when a non-sliver aligned chunk size exists. Non-divisor Z
+    (e.g. 182 with 128-aligned tz=32) takes the clipped-tail regime: the
+    input is explicitly zero-padded to nzb*tz, and the final block's
+    out-of-bounds output/stat lanes are dropped by Pallas on write."""
     tz = _pick_tz(Z, C)
-    return Z % tz == 0 and 4 <= tz < Z
+    return 4 <= tz < Z
 
 
 def _stem_blocked_kernel(x0_ref, x1_ref, x2_ref, r_ref, o_ref, st_ref,
@@ -599,10 +602,15 @@ def _stem_stats_blocked_pallas(x, w, interpret=False):
     b, X, Y, Z = x.shape
     C = w.shape[-1]
     tz = _pick_tz(Z, C)
-    nzb = Z // tz
+    nzb = -(-Z // tz)
     zpw = tz + 2
+    Zo = nzb * tz
     r = _build_band(w.astype(jnp.float32), tz).astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    # non-divisor Z: zero-pad z_in so the tail chunk's window reads are
+    # defined (finite garbage-free conv values in the phantom columns);
+    # the phantom z_out lanes fall outside the unpadded output/stat
+    # arrays, so Pallas clips them on write — nothing to slice after.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1 + Zo - Z)))
     xw = jnp.stack([xp[..., zb * tz: zb * tz + zpw] for zb in range(nzb)])
 
     def row_spec(off):
@@ -638,8 +646,9 @@ def stem_conv_stats_blocked(x, w, use_pallas=True, interpret=False):
 
     Same contract as `stem_conv_stats` — (B,X,Y,Z) -> ((B,X,Y,Z,C),
     (2, Z*C) f32 [Σ, Σ²]) — but gridded over z chunks so 182^3-class
-    inputs fit scoped VMEM. Backward: z-blocked banded dw with the
-    per-lane stats-cotangent assembly fused (`_stem_dw_blocked_pallas`).
+    inputs fit scoped VMEM (divisor and clipped-tail regimes). Backward:
+    z-blocked banded dw with the per-lane stats-cotangent assembly fused
+    (`_stem_dw_blocked_pallas`).
     """
     if not use_pallas:
         return _stem_stats_reference(x, w)
