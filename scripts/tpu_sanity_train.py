@@ -6,8 +6,8 @@ Overfits model_ad on a fixed synthetic batch for N steps and checks the
 loss drops substantially — unit tolerances can miss a subtly wrong
 gradient path; optimization progress cannot. A second phase repeats the
 check on an over-VMEM stem geometry (toy-sized), driving the z-blocked
-regime: XLA stem fwd + blocked banded dw + z-blocked bc pool
-(SANITY_SKIP_BLOCKED=1 to skip).
+regime: banded blocked stem fwd (the full-res default) + blocked banded
+dw + merged z-chunked pool (SANITY_SKIP_BLOCKED=1 to skip).
 """
 import os
 import sys
@@ -28,7 +28,8 @@ from transmf_ad_tpu.train.steps import create_state, make_train_step
 B, SHAPE = 8, (91, 109, 91)
 STEPS = int(os.environ.get("SANITY_STEPS", 40))
 # over-VMEM stem geometry at toy size: exercises the z-blocked regime
-# (XLA stem fwd + blocked banded dw + z-blocked bc pool) on-chip
+# (banded blocked stem fwd + blocked banded dw + merged z-chunked pool)
+# on-chip
 BLOCKED_SHAPE = (16, 16, 384)
 
 

@@ -11,12 +11,12 @@ timeout 900 python scripts/profile_step.py /tmp/v_ref > /tmp/v_ref.log 2>&1
 echo "exit=$?"; python scripts/parse_trace.py /tmp/v_ref --ops 0 2>/dev/null | head -2
 echo "=== 3. bench.py ==="
 timeout 900 python bench.py 2>/dev/null | tail -1
-echo "=== 4. full-res profile (default: xstats dw + z-blocked pools) ==="
+echo "=== 4. full-res profile (default: blocked banded stem fwd) ==="
 timeout 900 python scripts/profile_fullres.py > /tmp/v_full.log 2>&1
 echo "exit=$?"; python scripts/parse_trace.py /tmp/fullres_profile --ops 12 2>/dev/null | head -14
-echo "=== 5. full-res profile (TRANSMF_BLOCKED_STEM=1) ==="
+echo "=== 5. full-res profile (kill-switch: XLA fwd + blocked dw) ==="
 rm -rf /tmp/fullres_profile
-TRANSMF_BLOCKED_STEM=1 timeout 900 python scripts/profile_fullres.py > /tmp/v_full_bs.log 2>&1
+TRANSMF_NO_BLOCKED_STEM=1 timeout 900 python scripts/profile_fullres.py > /tmp/v_full_bs.log 2>&1
 echo "exit=$?"; python scripts/parse_trace.py /tmp/fullres_profile --ops 12 2>/dev/null | head -14
 echo "=== 6. sanity train (both phases) ==="
 timeout 1800 python scripts/tpu_sanity_train.py 2>&1 | tail -8

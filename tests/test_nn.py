@@ -437,12 +437,16 @@ class TestStemXStatsBlockedDw:
         np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_snet_full_res_regime_matches_xla(self, rng):
-        """A whole SNet encoder on an over-VMEM-budget geometry (the
-        full-resolution routing: XLA stem conv + blocked Pallas dw + bc
-        pool): loss and gradients must match the pure-XLA path."""
+    def test_snet_full_res_regime_matches_xla(self, rng, monkeypatch):
+        """A whole SNet encoder on an over-VMEM-budget geometry with the
+        blocked-stem kill-switch (the XLA-fwd routing: XLA stem conv +
+        blocked Pallas dw + bc pool): loss and gradients must match the
+        pure-XLA path. (The default blocked-fwd routing is covered by the
+        ConvBNAct default/clipped-tail tests and the sharded over-VMEM
+        test in test_parallel.py.)"""
         from transmf_ad_tpu.ops.stem import stem_fits
 
+        monkeypatch.setenv("TRANSMF_NO_BLOCKED_STEM", "1")
         x = jnp.asarray(rng.standard_normal((1, 8, 8, 384, 1)), jnp.float32)
         assert not stem_fits((8, 8, 384), 8)
         net_k = tnn.SNet(dim=32, use_pallas=True)
@@ -537,12 +541,11 @@ class TestStemXStatsBlockedDw:
         np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_convbnact_blocked_stem_env_matches_xla(self, rng, monkeypatch):
-        """ConvBNAct with TRANSMF_BLOCKED_STEM=1 on an over-budget shape
-        (banded blocked fwd + merged pool) matches use_stem_kernel=False."""
+    def test_convbnact_blocked_stem_default_matches_xla(self, rng):
+        """ConvBNAct on an over-budget shape takes the banded blocked fwd
+        + merged pool BY DEFAULT and matches use_stem_kernel=False."""
         from transmf_ad_tpu.ops.stem import stem_can_block, stem_fits
 
-        monkeypatch.setenv("TRANSMF_BLOCKED_STEM", "1")
         x = jnp.asarray(rng.standard_normal((1, 6, 6, 384, 1)), jnp.float32)
         assert not stem_fits((6, 6, 384), 8) and stem_can_block(384, 8)
         blk_k = tnn.ConvBNAct(8, pool="max", use_stem_kernel=True)
@@ -563,15 +566,13 @@ class TestStemXStatsBlockedDw:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-3)
 
-    def test_convbnact_blocked_stem_clipped_tail_matches_xla(
-            self, rng, monkeypatch):
+    def test_convbnact_blocked_stem_clipped_tail_matches_xla(self, rng):
         """ConvBNAct routing through the CLIPPED-TAIL blocked regime
         (over-VMEM Z=399 has no 128-aligned divisor chunk -> tz=128,
         Zo=512) matches use_stem_kernel=False end to end."""
         from transmf_ad_tpu.ops.stem import (_pick_tz, stem_can_block,
                                              stem_fits)
 
-        monkeypatch.setenv("TRANSMF_BLOCKED_STEM", "1")
         x = jnp.asarray(rng.standard_normal((1, 6, 6, 399, 1)), jnp.float32)
         assert (not stem_fits((6, 6, 399), 8) and stem_can_block(399, 8)
                 and 399 % _pick_tz(399, 8) != 0)
@@ -603,12 +604,14 @@ class TestStemXStatsBlockedDw:
         return y, jnp.stack([jnp.sum(yf, (0, 1, 2)),
                              jnp.sum(jax.lax.square(yf), (0, 1, 2))])
 
-    def test_convbnact_full_res_regime_matches_xla(self, rng):
+    def test_convbnact_full_res_regime_matches_xla(self, rng, monkeypatch):
         """A ConvBNAct whose shape fails stem_fits, trained one step with
-        use_stem_kernel=True (-> XLA fwd + blocked Pallas dw), must produce
-        the same loss and parameter gradients as use_stem_kernel=False."""
+        use_stem_kernel=True and the blocked-stem kill-switch (-> XLA fwd
+        + blocked Pallas dw), must produce the same loss and parameter
+        gradients as use_stem_kernel=False."""
         from transmf_ad_tpu.ops.stem import stem_fits
 
+        monkeypatch.setenv("TRANSMF_NO_BLOCKED_STEM", "1")
         x = jnp.asarray(rng.standard_normal((1, 6, 6, 128, 1)), jnp.float32)
         assert not stem_fits((6, 6, 128), 32)
         blk_k = tnn.ConvBNAct(32, use_stem_kernel=True)

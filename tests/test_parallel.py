@@ -202,12 +202,18 @@ class TestShardMapKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4)
 
-    def test_over_vmem_regime_sharded_matches_single(self, rng):
-        """The full-resolution routing (over-stem_fits geometry: XLA stem
-        fwd + z-blocked banded dw + z-blocked bc pool) composed with
-        shard_map: sharded grads/stats must equal the single-device run."""
+    @pytest.mark.parametrize("regime", ["blocked", "xla_fwd"])
+    def test_over_vmem_regime_sharded_matches_single(self, rng, monkeypatch,
+                                                     regime):
+        """The full-resolution routing (over-stem_fits geometry) composed
+        with shard_map, in BOTH regimes — the default z-blocked banded fwd
+        and the kill-switch XLA fwd (+ z-blocked banded dw) that sliver
+        chunk shapes take: sharded grads/stats must equal the
+        single-device run."""
         from transmf_ad_tpu.ops.stem import stem_fits
 
+        if regime == "xla_fwd":
+            monkeypatch.setenv("TRANSMF_NO_BLOCKED_STEM", "1")
         assert not stem_fits((8, 8, 384), 8)  # dim=32 -> stem C=8
         (s1, aux1), (s2, aux2) = self._run_pair(
             rng, "cnn_ad", {}, batch=2, shape=(8, 8, 384), n_data=2,

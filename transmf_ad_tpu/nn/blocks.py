@@ -138,12 +138,14 @@ class ConvBNAct(nn.Module):
                                     stem_conv_xstats)
 
             Z = x.shape[3]
-            if (os.environ.get("TRANSMF_BLOCKED_STEM")
+            if (not os.environ.get("TRANSMF_NO_BLOCKED_STEM")
                     and stem_can_block(Z, self.features)):
-                # A/B knob: fully-banded z-blocked stem fwd (merged-layout
-                # output + in-kernel per-lane stats) instead of the XLA
-                # conv. Changes the stage-end pool to the lane-chunked
-                # MERGED kernel (the output layout it wants).
+                # DEFAULT over-VMEM route: fully-banded z-blocked stem fwd
+                # (merged-layout output + in-kernel per-lane stats) instead
+                # of the XLA conv — full-res A/B 854.6 -> 334.4 ms/step
+                # (docs/PERFORMANCE.md). Changes the stage-end pool to the
+                # lane-chunked MERGED kernel (the output layout it wants).
+                # TRANSMF_NO_BLOCKED_STEM=1 reverts to the XLA-fwd regime.
                 y, st = stem_conv_stats_blocked(xd[..., 0],
                                                 kd[:, :, :, 0, :])
                 stc = st.reshape(2, Z, self.features).sum(axis=1)
@@ -151,11 +153,11 @@ class ConvBNAct(nn.Module):
                 stats = (stc[0], stc[1], n)
                 stem_ok = True  # merged-layout stage end (pool routing)
             else:
-                # over-VMEM stem (full resolution): XLA conv forward, but
-                # the weight gradient + stats-cotangent assembly run in
-                # the z-blocked banded-MXU dw kernel (29 ms/modality of
-                # XLA VPU multiply-add otherwise at 182^3 —
-                # docs/PERFORMANCE.md)
+                # sliver-chunk shapes (huge C) or the kill-switch: XLA
+                # conv forward, but the weight gradient + stats-cotangent
+                # assembly still run in the z-blocked banded-MXU dw kernel
+                # (29 ms/modality of XLA VPU multiply-add otherwise at
+                # 182^3 — docs/PERFORMANCE.md)
                 y, st2 = stem_conv_xstats(xd[..., 0], kd[:, :, :, 0, :])
                 n = int(np.prod(y.shape[:-1]))
                 stats = (st2[0], st2[1], n)

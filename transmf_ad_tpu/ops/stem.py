@@ -62,9 +62,10 @@ def stem_fits(spatial, C, itemsize=2, budget=14 * 1024 * 1024):
     dw backward holds the f32 band-shaped T accumulator plus y/gy rows.
     Sized for the reference geometries (91x109x91 -> ~12 MB worst case).
     Over-budget shapes (full-resolution 182^3 needs ~65 MB) route to the
-    Z-BLOCKED variants instead: XLA conv forward + `stem_conv_xstats`'s
-    blocked banded dw (training default), or the fully-banded
-    `stem_conv_stats_blocked` forward (TRANSMF_BLOCKED_STEM A/B knob)."""
+    Z-BLOCKED variants instead: the fully-banded `stem_conv_stats_blocked`
+    forward (training default — full-res A/B 854.6 -> 334.4 ms/step), or
+    XLA conv forward + `stem_conv_xstats`'s blocked banded dw (sliver
+    chunk shapes / TRANSMF_NO_BLOCKED_STEM=1)."""
     X, Y, Z = spatial
     band = 9 * (Z + 2) * Z * C * itemsize
     fwd = ((X + 2) * (Y + 2) * (Z + 2) * itemsize + band
@@ -563,7 +564,8 @@ stem_conv_xstats.defvjp(_xs_fwd, _xs_bwd)
 # (B, X, Y, Z*C) layout the (now lane-chunkable) merged pool consumes.
 # Non-divisor Z (e.g. 182 with 128-aligned tz=32) zero-pads z_in and
 # relies on Pallas clipping the tail block's out-of-bounds output/stat
-# lanes on write. Routing in nn/blocks.py (TRANSMF_BLOCKED_STEM knob).
+# lanes on write. Default over-VMEM route in nn/blocks.py
+# (TRANSMF_NO_BLOCKED_STEM=1 reverts to the XLA-fwd regime).
 # ---------------------------------------------------------------------------
 
 
