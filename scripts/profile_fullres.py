@@ -14,7 +14,7 @@ from transmf_ad_tpu.models import build_model
 from transmf_ad_tpu.train.optim import build_optimizer
 from transmf_ad_tpu.train.steps import create_state, make_train_step
 
-B, SHAPE = 2, (182, 218, 182)
+B, SHAPE = int(os.environ.get("FULLRES_B", 2)), (182, 218, 182)
 OUT = "/tmp/fullres_profile"
 rng = np.random.default_rng(0)
 batch = {

@@ -41,6 +41,34 @@ class TestSNet:
         leaf = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
         assert np.abs(np.asarray(leaf)).sum() > 0
 
+    @pytest.mark.parametrize("min_mb", ["0", "0.01", "96"])
+    def test_selective_remat_matches_no_remat(self, rng, monkeypatch, min_mb):
+        """Selective per-block remat (every threshold: all blocks wrapped,
+        a mixed prefix wrapped, none wrapped at toy size) must keep the
+        param tree IDENTICAL to remat=False (checkpoint portability) and
+        produce the same loss gradients."""
+        monkeypatch.setenv("TRANSMF_REMAT_MIN_MB", min_mb)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 1)), jnp.float32)
+
+        def grads(net):
+            p = net.init(jax.random.key(0), x, True)
+
+            def loss(v):
+                y, _ = net.apply(v, x, True, mutable=["batch_stats"])
+                return jnp.sum(y**2)
+
+            return p, jax.grad(loss)(
+                {"params": p["params"], "batch_stats": p["batch_stats"]})
+
+        p0, g0 = grads(tnn.SNet(dim=16, use_pallas=False, remat=False))
+        p1, g1 = grads(tnn.SNet(dim=16, use_pallas=False, remat=True))
+        assert (jax.tree_util.tree_structure(p0)
+                == jax.tree_util.tree_structure(p1))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
 
 class TestConvBNTorchParity:
     def test_conv_bn_leaky_matches_torch(self, rng):

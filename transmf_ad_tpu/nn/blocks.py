@@ -23,6 +23,18 @@ from .init import kaiming_fan_out, torch_conv_bias
 Dtype = Any
 
 
+def _stem_blocked_route(Z, C):
+    """Whether an over-VMEM stem takes the z-blocked banded Pallas route
+    (the default whenever an aligned chunk size exists;
+    TRANSMF_NO_BLOCKED_STEM=1 forces the XLA-conv regime)."""
+    import os
+
+    from ..ops.stem import stem_can_block
+
+    return (not os.environ.get("TRANSMF_NO_BLOCKED_STEM")
+            and stem_can_block(Z, C))
+
+
 class ConvBNAct(nn.Module):
     """Conv3d(+pad) -> BatchNorm -> activation [-> fused 2x2x2 pool].
 
@@ -131,26 +143,29 @@ class ConvBNAct(nn.Module):
                 stats = (stc[0], stc[1], n)
             else:  # eval needs no batch statistics
                 y = stem_conv(xd[..., 0], kd[:, :, :, 0, :])
-        elif use_stem and stem_structural and train:
-            import os
-
-            from ..ops.stem import (stem_can_block, stem_conv_stats_blocked,
-                                    stem_conv_xstats)
+        elif use_stem and stem_structural and (
+                train or _stem_blocked_route(x.shape[3], self.features)):
+            from ..ops.stem import stem_conv_stats_blocked, stem_conv_xstats
 
             Z = x.shape[3]
-            if (not os.environ.get("TRANSMF_NO_BLOCKED_STEM")
-                    and stem_can_block(Z, self.features)):
+            if _stem_blocked_route(Z, self.features):
                 # DEFAULT over-VMEM route: fully-banded z-blocked stem fwd
                 # (merged-layout output + in-kernel per-lane stats) instead
                 # of the XLA conv — full-res A/B 854.6 -> 334.4 ms/step
                 # (docs/PERFORMANCE.md). Changes the stage-end pool to the
                 # lane-chunked MERGED kernel (the output layout it wants).
-                # TRANSMF_NO_BLOCKED_STEM=1 reverts to the XLA-fwd regime.
+                # EVAL takes it too: the XLA-conv route's channels-minor
+                # (X,Y,Z,B,C) pool feed pads C=32 lanes to 128 — a 4x HBM
+                # copy (13.8 GB at batch 8 full-res) the merged layout
+                # never materializes; the in-kernel stats are simply
+                # discarded. TRANSMF_NO_BLOCKED_STEM=1 reverts to the
+                # XLA-fwd regime.
                 y, st = stem_conv_stats_blocked(xd[..., 0],
                                                 kd[:, :, :, 0, :])
-                stc = st.reshape(2, Z, self.features).sum(axis=1)
-                n = int(np.prod(y.shape[:-1]))
-                stats = (stc[0], stc[1], n)
+                if train:
+                    stc = st.reshape(2, Z, self.features).sum(axis=1)
+                    n = int(np.prod(y.shape[:-1]))
+                    stats = (stc[0], stc[1], n)
                 stem_ok = True  # merged-layout stage end (pool routing)
             else:
                 # sliver-chunk shapes (huge C) or the kill-switch: XLA
@@ -242,6 +257,26 @@ def avg_pool3d(x, window: int = 2, stride: int = 2, fast: bool = True):
     return nn.avg_pool(x, dims, strides=strides, padding="VALID")
 
 
+def _remat_worth_it(shape, features, itemsize=2):
+    """Whether per-block remat pays for a ConvBNAct at this input shape.
+
+    Remat frees the block's intra-block intermediates — the conv output
+    and the activated tensor at INPUT spatial resolution (~2 tensors of
+    prod(shape[:-1])*features elements; pooling happens after) — at the
+    cost of recomputing the conv in the backward. The block INPUT is
+    stored either way (it seeds the recompute), so when the intermediates
+    are small the recompute buys nothing. Threshold tuned by full-res
+    device A/B (docs/PERFORMANCE.md "Selective remat"): at 300 MB only
+    the full-res stem block remats, which fit every measured config that
+    any lower threshold fit while costing ~31 ms/step less than also
+    wrapping the second block. TRANSMF_REMAT_MIN_MB overrides."""
+    import os
+
+    min_mb = float(os.environ.get("TRANSMF_REMAT_MIN_MB", "300"))
+    inter = 2 * int(np.prod(shape[:-1])) * features * itemsize
+    return inter >= min_mb * 2**20
+
+
 class SNet(nn.Module):
     """Per-modality 3D-CNN encoder (paper fig. b).
 
@@ -265,19 +300,33 @@ class SNet(nn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name, use_stem_kernel=self.use_pallas)
-        # Per-block remat: each ConvBNAct recomputes in backward, so only
-        # one stage's activations are live at a time (whole-encoder remat
-        # would re-materialize every stage at once and save nothing).
-        Blk = (nn.remat(ConvBNAct, static_argnums=(2,)) if self.remat
-               else ConvBNAct)
+        # SELECTIVE per-block remat: a rematted ConvBNAct recomputes its
+        # forward in the backward, so its intra-block intermediates (conv
+        # output + activation at INPUT spatial resolution, i.e. pre-pool)
+        # are never stored — but the block's input is stored either way
+        # (it seeds the recompute). Late blocks have tiny intermediates,
+        # so rematting them pays conv recompute for ~no memory; only
+        # blocks whose intermediates actually dominate HBM get wrapped.
+        # Block-level granularity (vs whole-encoder remat) matters for the
+        # same reason: one stage's activations live at a time.
         d = self.dim
-        x = Blk(d // 4, pool="max", **kw)(x, train)
-        x = Blk(d // 4, **kw)(x, train)
-        x = Blk(d // 2, pool="max", **kw)(x, train)
-        x = Blk(d // 2, **kw)(x, train)
-        x = Blk(d, pool="max", **kw)(x, train)
-        x = Blk(d * 2, **kw)(x, train)
-        x = Blk(d, kernel=(1, 1, 1), pool="avg", **kw)(x, train)
+        plan = [
+            (d // 4, dict(pool="max")),
+            (d // 4, {}),
+            (d // 2, dict(pool="max")),
+            (d // 2, {}),
+            (d, dict(pool="max")),
+            (d * 2, {}),
+            (d, dict(kernel=(1, 1, 1), pool="avg")),
+        ]
+        for i, (feats, extra) in enumerate(plan):
+            cls = (nn.remat(ConvBNAct, static_argnums=(2,))
+                   if self.remat and _remat_worth_it(x.shape, feats)
+                   else ConvBNAct)
+            # explicit names: the remat lift renames the auto-derived
+            # module ("CheckpointConvBNAct_i"), which would fork the param
+            # tree between remat settings and break checkpoint portability
+            x = cls(feats, **extra, **kw, name=f"ConvBNAct_{i}")(x, train)
         return x
 
 
