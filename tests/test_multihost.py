@@ -1,0 +1,110 @@
+"""Multi-host training: the full Trainer loop as TWO JAX processes (Gloo
+over localhost, 4 virtual CPU devices each = one 8-device global mesh),
+compared against the same config run single-process on this test's own
+8-device mesh.
+
+This is the multi-host analogue of tests/test_parallel.py: it exercises
+`parallel.distributed` end to end — `jax.distributed.initialize`, the
+DCN-aware hybrid mesh, per-process `place_global` batch transfer,
+`fetch_global` metric collection, primary-gated checkpoint writes with the
+cross-host barrier, and NullLogger on the non-primary process. The
+reference has no distributed story at all (reference:
+kfold_train_adversarial.py:24 pins cuda:0).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def multihost_run(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("multihost"))
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    worker = os.path.join(REPO, "tests", "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), outdir],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0 and f"WORKER_{pid}_OK" in out, (
+            f"worker {pid} failed:\n{out[-4000:]}")
+    return outdir, logs
+
+
+class TestMultiHost:
+    def test_processes_agree(self, multihost_run):
+        outdir, _ = multihost_run
+        p0 = np.load(os.path.join(outdir, "params_0.npy"))
+        p1 = np.load(os.path.join(outdir, "params_1.npy"))
+        np.testing.assert_array_equal(p0, p1)
+        r0 = json.load(open(os.path.join(outdir, "res_0.json")))
+        r1 = json.load(open(os.path.join(outdir, "res_1.json")))
+        assert r0["primary"] and not r1["primary"]
+        # test metrics come from the same psum'd eval on both processes
+        np.testing.assert_allclose(r0["res"], r1["res"], rtol=1e-6)
+
+    def test_matches_single_process(self, multihost_run, tmp_path):
+        """Same config, single-controller on this process's own 8-device
+        mesh: the distributed run must reproduce it numerically."""
+        from tests._multihost_data import make_loaders, trainer_config_kwargs
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        cfg = TrainerConfig(save_dir=str(tmp_path / "ckpt"),
+                            **trainer_config_kwargs())
+        trainer = Trainer(cfg)
+        assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
+        train_loader, val_loader, test_loader = make_loaders()
+        res = trainer.fit(train_loader, val_loader, test_loader)
+
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        flat = np.concatenate([np.asarray(p).ravel() for p in leaves])
+
+        outdir, _ = multihost_run
+        p0 = np.load(os.path.join(outdir, "params_0.npy"))
+        np.testing.assert_allclose(p0, flat, rtol=2e-5, atol=2e-6)
+        r0 = json.load(open(os.path.join(outdir, "res_0.json")))
+        np.testing.assert_allclose(r0["res"], [float(x) for x in res],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_primary_owns_side_effects(self, multihost_run):
+        outdir, _ = multihost_run
+        ckpt_dir = os.path.join(outdir, "ckpt")
+        # exactly one writer: the shared dir has the usual artifacts once
+        names = os.listdir(ckpt_dir)
+        assert "latest.msgpack" in names
+        assert any(n.startswith("best_label_net_model") for n in names)
+        assert "log.txt" in names  # process 0's Logger only

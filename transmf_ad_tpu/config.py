@@ -56,6 +56,12 @@ class Options:
     # — run folds on separate hosts in parallel, or redo a single fold;
     # the KFold split itself stays identical (same seed, all folds laid
     # out), only which folds TRAIN is filtered
+    # Multi-host SPMD (one process per host of a pod slice; see
+    # parallel/distributed.py). coordinator 'auto' = TPU-pod detection;
+    # num_processes 0 / process_id -1 = single-process (default).
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
     @property
     def aug_bool(self) -> bool:

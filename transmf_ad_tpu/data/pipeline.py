@@ -263,9 +263,17 @@ def device_prefetch(batches: Iterable[Dict], sharding=None, depth: int = 2):
     import jax
     import jax.numpy as jnp
 
+    multi_host = jax.process_count() > 1
+
     def place(x):
         if sharding is not None:
             try:
+                if multi_host:
+                    # each process transfers only the rows its devices own
+                    # (every process sees the same global host batch)
+                    v = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        v.shape, sharding, lambda idx, v=v: v[idx])
                 return jax.device_put(x, sharding)
             except ValueError:  # leading axis not divisible by the mesh
                 pass

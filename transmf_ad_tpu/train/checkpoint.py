@@ -32,7 +32,8 @@ class BestCheckpointer:
         self._saved = []  # list of (score, path), best last
         os.makedirs(save_dir, exist_ok=True)
 
-    def maybe_save(self, target: Dict[str, Any], score: float, epoch: int) -> Optional[str]:
+    def maybe_save(self, target: Optional[Dict[str, Any]], score: float,
+                   epoch: int, write: bool = True) -> Optional[str]:
         # greater_or_equal retention: skip only when full and strictly worse
         # than the current worst kept score.
         if len(self._saved) >= self.n_saved and score < self._saved[0][0]:
@@ -41,15 +42,22 @@ class BestCheckpointer:
             self.save_dir,
             f"{self.prefix}_{epoch}_{self.score_name}={score:.4f}.msgpack",
         )
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(target))
+        if write:
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(target))
         self._saved.append((score, path))
         self._saved.sort(key=lambda t: t[0])
         while len(self._saved) > self.n_saved:
             _, old = self._saved.pop(0)
-            if os.path.exists(old):
+            if write and os.path.exists(old):
                 os.remove(old)
         return path
+
+    def track(self, score: float, epoch: int) -> Optional[str]:
+        """Record the retention decision WITHOUT touching disk: non-primary
+        processes of a multi-host run mirror process 0's (identical) score
+        stream so `best_path()` resolves to the same shared-storage file."""
+        return self.maybe_save(None, score, epoch, write=False)
 
     def best_path(self) -> Optional[str]:
         if self._saved:

@@ -124,13 +124,30 @@ def _make_trainer_cfg(opt: Options, spec: Dict, fold_dir: str,
         pretrained_path=opt.pretrained,
         remat=opt.remat == "True",
         debug_nans=opt.debug_nans == "True",
+        coordinator_address=opt.coordinator_address or None,
+        num_processes=opt.num_processes or None,
+        process_id=opt.process_id if opt.process_id >= 0 else None,
     )
+
+
+def _init_multihost(opt: Options) -> bool:
+    """Join the distributed runtime (no-op single-process) BEFORE any
+    logger/file side effect, and report whether this process owns them."""
+    from ..parallel import init_distributed, is_primary
+
+    init_distributed(opt.coordinator_address or None,
+                     opt.num_processes or None,
+                     opt.process_id if opt.process_id >= 0 else None)
+    return is_primary()
 
 
 def run_kfold(opt: Options, variant: str = "adversarial",
               pad_to_override=None) -> Dict[str, List[float]]:
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    logger_main = Logger(save_dir)
+    primary = _init_multihost(opt)
+    from ..parallel import NullLogger
+
+    logger_main = Logger(save_dir) if primary else NullLogger()
     spec = _variant_spec(variant, opt)
     if pad_to_override is not None:
         spec["pad_to"] = pad_to_override
@@ -172,7 +189,7 @@ def run_kfold(opt: Options, variant: str = "adversarial",
 
         fold_dir = os.path.join(save_dir, str(fold))
         cfg = _make_trainer_cfg(opt, spec, fold_dir, seed)
-        trainer = Trainer(cfg, Logger(fold_dir))
+        trainer = Trainer(cfg, Logger(fold_dir) if primary else None)
         res_fold = trainer.fit(train_loader, val_loader, test_loader,
                                class_weights=class_weights)
         logger_main.print_message_nocli(
@@ -235,7 +252,10 @@ def run_holdout(opt: Options) -> List[float]:
      - task 'pretrain': 80/20 ADCN split with seed 965, no test set
     """
     save_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    logger = Logger(save_dir)
+    primary = _init_multihost(opt)
+    from ..parallel import NullLogger
+
+    logger = Logger(save_dir) if primary else NullLogger()
     if opt.dataset == "ADNI12":
         adni1 = ADNI(opt.dataroot, "ADNI1_modality_complete.csv", opt.task)
         adni2 = ADNI(opt.dataroot, "ADNI2_modality_complete.csv", opt.task)
@@ -253,9 +273,12 @@ def run_holdout(opt: Options) -> List[float]:
         train_d, val_d, test_d = partition_dataset(
             data, [0.6, 0.2, 0.2], shuffle=True, seed=task_seed(opt)
         )
-    np.save(os.path.join(save_dir, "train.npy"), train_d, allow_pickle=True)
-    np.save(os.path.join(save_dir, "val.npy"), val_d, allow_pickle=True)
-    np.save(os.path.join(save_dir, "test.npy"), test_d, allow_pickle=True)
+    if primary:  # partition snapshots: one writer on shared storage
+        np.save(os.path.join(save_dir, "train.npy"), train_d,
+                allow_pickle=True)
+        np.save(os.path.join(save_dir, "val.npy"), val_d, allow_pickle=True)
+        np.save(os.path.join(save_dir, "test.npy"), test_d,
+                allow_pickle=True)
 
     source = VolumeSource(train_d + val_d + test_d,
                           dtype=transfer_dtype(opt))

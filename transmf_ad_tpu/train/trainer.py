@@ -26,6 +26,7 @@ import numpy as np
 
 from ..data.transforms import AugmentConfig
 from ..models import ADVERSARIAL, SINGLE_MODALITY, build_model
+from ..parallel import fetch_global as _fetch
 from ..utils.logging import Logger
 from . import checkpoint as ckpt
 from .engine import Engine, Events
@@ -66,6 +67,12 @@ class TrainerConfig:
     profile_steps: tuple = (10, 15)  # (start, stop) step of the trace
     debug_nans: bool = False
     progress: bool = True  # per-iteration progress bar (ignite parity)
+    # Multi-host: join jax's distributed runtime before building the mesh
+    # (one trainer process per host of a pod slice; 'auto' = TPU-pod
+    # detection). save_dir must be shared storage across hosts.
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 def resolve_dtype(dtype):
@@ -101,7 +108,17 @@ def _enable_compile_cache():
 
 class Trainer:
     def __init__(self, cfg: TrainerConfig, logger: Optional[Logger] = None):
+        from ..parallel import init_distributed, is_primary
+
         self.cfg = cfg
+        # must precede any other jax call (device queries below included)
+        init_distributed(cfg.coordinator_address, cfg.num_processes,
+                         cfg.process_id)
+        self.primary = is_primary()
+        if not self.primary:
+            from ..parallel import NullLogger
+
+            logger = NullLogger()  # side effects belong to process 0
         self.logger = logger or Logger(cfg.save_dir)
         _enable_compile_cache()
         dtype = resolve_dtype(cfg.dtype)
@@ -110,11 +127,14 @@ class Trainer:
         self._batch_sharding = None
         self._replicated = None
         if cfg.data_parallel and jax.device_count() > 1:
-            from ..parallel import make_mesh
+            from ..parallel import make_hybrid_mesh
 
             n = jax.device_count()
             mp = max(1, cfg.model_parallel)
-            self.mesh = make_mesh({"data": n // mp, "model": mp})
+            # data axis first: under multi-host it is the axis split
+            # across processes (gradient/BN psums ride DCN; 'model'
+            # collectives stay on intra-host ICI)
+            self.mesh = make_hybrid_mesh({"data": n // mp, "model": mp})
         # Under the mesh the steps run in shard_map (manual over 'data');
         # axis_name routes BatchNorm statistics through cross-device psums
         # so batch stats stay global-batch exact (synced BN).
@@ -182,10 +202,12 @@ class Trainer:
 
     def _place(self, batch):
         """Host->device placement; batch axes are pre-padded to divide the
-        mesh's data axis, so sharded placement never fails."""
+        mesh's data axis, so sharded placement never fails. Multi-host,
+        each process transfers only the rows its devices own."""
         if self._batch_sharding is not None:
-            return {k: jax.device_put(v, self._batch_sharding)
-                    for k, v in batch.items()}
+            from ..parallel import place_global
+
+            return place_global(batch, self._batch_sharding)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def param_count(self) -> int:
@@ -226,9 +248,9 @@ class Trainer:
             probs.append(out["probs"])
             labels.append(out["label"])
             masks.append(out["mask"])
-        probs = np.concatenate([np.asarray(p) for p in probs])
-        labels = np.concatenate([np.asarray(l) for l in labels])
-        valid = np.concatenate([np.asarray(m) for m in masks]) > 0
+        probs = np.concatenate([_fetch(p) for p in probs])
+        labels = np.concatenate([_fetch(l) for l in labels])
+        valid = np.concatenate([_fetch(m) for m in masks]) > 0
         return ms, probs[valid], labels[valid]
 
     def evaluate(self, loader) -> dict:
@@ -303,7 +325,9 @@ class Trainer:
                 logger.print_message(f"Resumed from epoch {start_epoch}")
 
         if self.mesh is not None and self._replicated is not None:
-            base_rng = jax.device_put(base_rng, self._replicated)
+            from ..parallel import put_replicated
+
+            base_rng = put_replicated(base_rng, self._replicated)
 
         def step_fn(engine, batch):
             if cfg.profile_dir:
@@ -337,13 +361,13 @@ class Trainer:
                     f"Training Results - Epoch[{engine.state.epoch}] "
                     "(no full batches)")
                 return
-            ce = float(np.mean([np.asarray(o["ce_loss"]) for o in outs]))
-            ad = float(np.mean([np.asarray(o["ad_loss"]) for o in outs]))
-            logits = np.concatenate([np.asarray(o["logits"]) for o in outs])
-            labels = np.concatenate([np.asarray(o["label"]) for o in outs])
+            ce = float(np.mean([_fetch(o["ce_loss"]) for o in outs]))
+            ad = float(np.mean([_fetch(o["ad_loss"]) for o in outs]))
+            logits = np.concatenate([_fetch(o["logits"]) for o in outs])
+            labels = np.concatenate([_fetch(o["label"]) for o in outs])
             if "mask" in outs[0]:  # drop padded duplicates from metrics
                 valid = np.concatenate(
-                    [np.asarray(o["mask"]) for o in outs]) > 0
+                    [_fetch(o["mask"]) for o in outs]) > 0
                 logits, labels = logits[valid], labels[valid]
             acc = float((logits.argmax(-1) == labels).mean())
             lr = float(self.lr_schedule(int(self.state.step) - 1))
@@ -362,8 +386,8 @@ class Trainer:
             logger.print_message(f"Training Results - Epoch[{engine.state.epoch}] ")
             msg = f"ce_loss: {ce:.4f} ad_loss: {ad:.4f} accuracy: {acc:.4f} "
             if self.adversarial:
-                d_mri = np.concatenate([np.asarray(o["d_mri"]) for o in outs])
-                d_pet = np.concatenate([np.asarray(o["d_pet"]) for o in outs])
+                d_mri = np.concatenate([_fetch(o["d_mri"]) for o in outs])
+                d_pet = np.concatenate([_fetch(o["d_pet"]) for o in outs])
                 if "mask" in outs[0]:
                     d_mri, d_pet = d_mri[valid], d_pet[valid]
                 mri_acc = float((d_mri.argmax(-1) == 1).mean())
@@ -380,16 +404,28 @@ class Trainer:
             )
             logger.print_message(_fmt_metrics(metrics))
             engine.state.metrics["val"] = metrics
-            checkpointer.maybe_save(
-                _saveable(self.state), metrics["accuracy"], engine.state.epoch
-            )
-            if cfg.save_latest_every and (
-                engine.state.epoch % cfg.save_latest_every == 0
-            ):
-                ckpt.save_latest(cfg.save_dir, {
-                    "state": _saveable(self.state, full=True),
-                    "epoch": engine.state.epoch,
-                })
+            # Multi-host: the val metrics (and so the best-epoch decision)
+            # are identical on every process; only process 0 writes. The
+            # barrier keeps non-primary hosts from racing ahead into a
+            # best-weights restore before the file lands (shared storage).
+            if self.primary:
+                checkpointer.maybe_save(
+                    _saveable(self.state), metrics["accuracy"],
+                    engine.state.epoch
+                )
+                if cfg.save_latest_every and (
+                    engine.state.epoch % cfg.save_latest_every == 0
+                ):
+                    ckpt.save_latest(cfg.save_dir, {
+                        "state": _saveable(self.state, full=True),
+                        "epoch": engine.state.epoch,
+                    })
+            else:
+                checkpointer.track(metrics["accuracy"], engine.state.epoch)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("transmf_ckpt")
 
         # Production feed: H2D transfers run `depth` steps ahead of compute
         # (double-buffered; sharded over the mesh's data axis when present).
