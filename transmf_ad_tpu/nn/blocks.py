@@ -222,8 +222,14 @@ class ConvBNAct(nn.Module):
                     y, scale, shift, slope, self.use_stem_kernel)
             s_lanes = jnp.tile(scale, Z)
             b_lanes = jnp.tile(shift, Z)
+            # bc_out: the consumer is always an XLA body conv (s2a), so the
+            # pooled tensor leaves in the conv's native layout via the
+            # in-VMEM relayout kernel instead of XLA's ~27 GB/s transposing
+            # copies (both directions; docs/PERFORMANCE.md round 3).
+            # Opt-in (TRANSMF_M2BC=1) until the on-chip full-step A/B lands.
             return max_pool3d_2x2_affine_act(
-                y, s_lanes, b_lanes, slope, self.use_stem_kernel)
+                y, s_lanes, b_lanes, slope, self.use_stem_kernel,
+                bc_out=bool(os.environ.get("TRANSMF_M2BC")))
         z = bn_affine_reference(y, scale, shift, slope)
         if self.pool == "max":
             return max_pool3d_2x2(z, self.use_stem_kernel)
