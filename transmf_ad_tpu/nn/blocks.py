@@ -27,11 +27,10 @@ def _stem_blocked_route(Z, C):
     """Whether an over-VMEM stem takes the z-blocked banded Pallas route
     (the default whenever an aligned chunk size exists;
     TRANSMF_NO_BLOCKED_STEM=1 forces the XLA-conv regime)."""
-    import os
-
     from ..ops.stem import stem_can_block
+    from ..utils.env import env_flag
 
-    return (not os.environ.get("TRANSMF_NO_BLOCKED_STEM")
+    return (not env_flag("TRANSMF_NO_BLOCKED_STEM")
             and stem_can_block(Z, C))
 
 
@@ -107,9 +106,9 @@ class ConvBNAct(nn.Module):
         if use_stem and stem_ok:
             fuse = self.fuse_stem_pool
             if fuse is None:
-                import os
+                from ..utils.env import env_flag
 
-                fuse = bool(os.environ.get("TRANSMF_STEM_POOL_FUSION"))
+                fuse = env_flag("TRANSMF_STEM_POOL_FUSION")
             if train and self.pool == "max" and fuse:
                 # fully fused stage: conv + Σ/Σ² stats + window max/min in
                 # ONE kernel — the full-resolution tensor never exists in
@@ -205,9 +204,8 @@ class ConvBNAct(nn.Module):
         slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
 
         if self.pool == "max" and y.ndim == 5:
-            import os
-
             from ..ops.pool3d import max_pool3d_2x2_affine_act_bc
+            from ..utils.env import env_flag
 
             Z, C = y.shape[-2], y.shape[-1]
             # XLA-conv-fed stage ends use the conv-native-layout kernel: the
@@ -217,7 +215,7 @@ class ConvBNAct(nn.Module):
             # stem path keeps the merged kernel: the stem Pallas kernel
             # already emits the dense merged layout the pool wants.
             body_conv = not (use_stem and stem_ok)
-            if body_conv and not os.environ.get("TRANSMF_NO_BC_POOL"):
+            if body_conv and not env_flag("TRANSMF_NO_BC_POOL"):
                 return max_pool3d_2x2_affine_act_bc(
                     y, scale, shift, slope, self.use_stem_kernel)
             s_lanes = jnp.tile(scale, Z)
@@ -227,9 +225,10 @@ class ConvBNAct(nn.Module):
             # in-VMEM relayout kernel instead of XLA's ~27 GB/s transposing
             # copies (both directions; docs/PERFORMANCE.md round 3).
             # Opt-in (TRANSMF_M2BC=1) until the on-chip full-step A/B lands.
+            # Read at TRACE time: set before the first compile (utils/env.py).
             return max_pool3d_2x2_affine_act(
                 y, s_lanes, b_lanes, slope, self.use_stem_kernel,
-                bc_out=bool(os.environ.get("TRANSMF_M2BC")))
+                bc_out=env_flag("TRANSMF_M2BC"))
         z = bn_affine_reference(y, scale, shift, slope)
         if self.pool == "max":
             return max_pool3d_2x2(z, self.use_stem_kernel)

@@ -479,9 +479,11 @@ def _bc2m_kernel(x_ref, o_ref, *, B, Zp, C):
 
 
 def _m2bc_fits(b, Yp, Zp, C, itemsize, budget=10 * 1024 * 1024):
-    """Both relayout blocks (bc side pads B->8 sublanes, C->128 lanes) must
-    fit scoped VMEM, and the unrolled lane-slice count must stay sane."""
-    dense = max(b, 8) * Yp * max(Zp * C, 128) * itemsize
+    """Both relayout blocks must fit scoped VMEM, and the unrolled
+    lane-slice count must stay sane. The merged (b, 1, Yp, Zp*C) block's
+    sublane dim is Yp (pads to 8) and its lane dim Zp*C (pads to 128);
+    the bc (1, Yp, Zp, b, C) block pads b->8 sublanes, C->128 lanes."""
+    dense = b * (-(-Yp // 8) * 8) * max(Zp * C, 128) * itemsize
     padded = Yp * Zp * max(b, 8) * max(C, 128) * itemsize
     return b * Zp <= 1024 and dense + padded <= budget
 

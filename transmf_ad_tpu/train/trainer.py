@@ -95,7 +95,9 @@ def _enable_compile_cache():
     """Persistent XLA compile cache: folds 2..K of a k-fold run (and any
     rerun) reuse fold 1's executables instead of recompiling (~minutes per
     fold on the TPU tunnel). Opt out with TRANSMF_NO_COMPILE_CACHE=1."""
-    if os.environ.get("TRANSMF_NO_COMPILE_CACHE"):
+    from ..utils.env import env_flag
+
+    if env_flag("TRANSMF_NO_COMPILE_CACHE"):
         return
     if jax.config.jax_compilation_cache_dir:
         return  # already configured by the caller
