@@ -13,7 +13,6 @@ needs two full scan compiles per config (~hours through the tunnel).
 Usage:
     python scripts/bench_batch_scaling.py [batch[:remat] ...]  # default:
         8 16 16:remat 32:remat
-Env: TRANSMF_STEM_POOL_FUSION=1 to A/B the fused stage-1 on;
      BENCH_PROFILE_DIR to also capture device traces (one subdir per cfg).
 """
 import os
@@ -74,9 +73,7 @@ def measure(batch_size: int, remat: bool, trace_dir=None):
 def main():
     specs = sys.argv[1:] or ["8", "16", "16:remat", "32:remat"]
     prof = os.environ.get("BENCH_PROFILE_DIR")
-    fused = bool(os.environ.get("TRANSMF_STEM_POOL_FUSION"))
-    print(f"# stage-1 fusion: {'ON' if fused else 'OFF'}; "
-          f"backend={jax.default_backend()}; dispatch-loop ms/step "
+    print(f"# backend={jax.default_backend()}; dispatch-loop ms/step "
           f"(device truth: parse the trace when BENCH_PROFILE_DIR set)")
     print(f"{'batch':>6} {'remat':>6} {'ms/step':>9} {'vols/s':>8}")
     for spec in specs:

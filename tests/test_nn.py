@@ -108,6 +108,64 @@ class TestConvBNTorchParity:
             theirs = y.permute(0, 2, 3, 4, 1).numpy()
         np.testing.assert_allclose(ours, theirs, atol=2e-5)
 
+    def test_batchnorm_masked_matches_torch_bn1d(self, rng):
+        """BatchNormMasked must follow torch BatchNorm1d (the reference's
+        head BN, reference: mymodel.py:152,190-192): biased batch variance
+        for the train-mode output, UNBIASED running_var updates, matching
+        eval outputs off the updated running stats; with a 0/1 mask it
+        must match torch BN fed the real rows alone. Param tree stays
+        nn.BatchNorm-compatible (checkpoints interchange)."""
+        import torch
+        from flax import linen as nn
+        from transmf_ad_tpu.nn.batchnorm import BatchNormMasked
+
+        x = rng.standard_normal((6, 10)).astype(np.float32)
+        bn_m = BatchNormMasked(momentum=0.9, epsilon=1e-5)
+        vm = bn_m.init(jax.random.key(0), jnp.asarray(x), train=True)
+        vr = nn.BatchNorm(use_running_average=False).init(
+            jax.random.key(0), jnp.asarray(x))
+        assert (jax.tree_util.tree_structure(vr)
+                == jax.tree_util.tree_structure(vm))
+
+        tbn = torch.nn.BatchNorm1d(10, eps=1e-5, momentum=0.1)
+        tbn.train()
+        with torch.no_grad():
+            t_out = tbn(torch.from_numpy(x))
+
+        ym, mm = bn_m.apply(vm, jnp.asarray(x), train=True,
+                            mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(ym), t_out.numpy(), atol=1e-5)
+        st = mm["batch_stats"]
+        np.testing.assert_allclose(np.asarray(st["mean"]),
+                                   tbn.running_mean.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st["var"]),
+                                   tbn.running_var.numpy(), atol=1e-6)
+
+        # eval mode off the updated running stats
+        tbn.eval()
+        with torch.no_grad():
+            t_ev = tbn(torch.from_numpy(x))
+        ev_m = bn_m.apply({"params": vm["params"], **mm}, jnp.asarray(x),
+                          train=False)
+        np.testing.assert_allclose(np.asarray(ev_m), t_ev.numpy(),
+                                   atol=1e-5)
+
+        # masked moments == torch BN on the real rows alone
+        tbn2 = torch.nn.BatchNorm1d(10, eps=1e-5, momentum=0.1)
+        tbn2.train()
+        with torch.no_grad():
+            t_out2 = tbn2(torch.from_numpy(x[:4]))
+        mask = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+        ym2, mm2 = bn_m.apply(vm, jnp.asarray(x), train=True,
+                              mask=mask, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(ym2)[:4], t_out2.numpy(),
+                                   atol=1e-5)
+        st2 = mm2["batch_stats"]
+        np.testing.assert_allclose(np.asarray(st2["mean"]),
+                                   tbn2.running_mean.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st2["var"]),
+                                   tbn2.running_var.numpy(), atol=1e-6)
+
     def test_max_avg_pool_floor_semantics(self, rng):
         import torch
 
@@ -810,170 +868,6 @@ class TestStemStats:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
-
-
-class TestChannelStats:
-    """channel_stats (ops/stats.py): standalone BN-stats reduction kernel
-    for XLA body convs (bf16 read at bandwidth, no f32 convert_reduce)."""
-
-    def test_forward_parity_interpret(self, rng):
-        from transmf_ad_tpu.ops.stats import _stats_reference, channel_stats
-
-        y = jnp.asarray(rng.standard_normal((2, 6, 5, 4, 32)), jnp.float32)
-        np.testing.assert_allclose(
-            np.asarray(channel_stats(y, True)),  # interpret on CPU
-            np.asarray(_stats_reference(y)), rtol=1e-5, atol=1e-4)
-
-    def test_grad_parity(self, rng):
-        from transmf_ad_tpu.ops.stats import _stats_reference, channel_stats
-
-        y = jnp.asarray(rng.standard_normal((1, 4, 5, 4, 16)), jnp.float32)
-
-        def mk(fn):
-            return lambda v: jnp.sum(jnp.sin(fn(v)))
-
-        g1 = jax.grad(mk(lambda v: channel_stats(v, True)))(y)
-        g2 = jax.grad(mk(_stats_reference))(y)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                                   rtol=1e-4, atol=1e-4)
-
-    def test_profitability_gate(self):
-        from transmf_ad_tpu.ops.stats import stats_profitable
-
-        assert stats_profitable(jnp.zeros((8, 45, 54, 45, 32)))
-        # MiSePyNet collapsed-axis maps: 8 lanes -> grid overhead, gated off
-        assert not stats_profitable(jnp.zeros((8, 45, 54, 1, 8)))
-        assert not stats_profitable(jnp.zeros((2, 4, 4, 4, 32)))  # tiny
-
-    def test_convbnact_body_stats_match_xla(self, rng):
-        """ConvBNAct with the stats kernel ON must produce the same batch
-        stats / output as the pure-XLA path (cin>1 body conv)."""
-        from transmf_ad_tpu.nn.blocks import ConvBNAct
-
-        # stats_profitable needs >=2^18 elements: (2,16,16,16,32) = 2^18
-        x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 8)), jnp.float32)
-        m_on = ConvBNAct(32, use_stem_kernel=True, body_stats=True)
-        m_off = ConvBNAct(32, use_stem_kernel=False)
-        v = m_on.init(jax.random.key(0), x, True)
-        y_on, mut_on = m_on.apply(v, x, True, mutable=["batch_stats"])
-        y_off, mut_off = m_off.apply(v, x, True, mutable=["batch_stats"])
-        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
-                                   rtol=1e-4, atol=1e-5)
-        for a, b in zip(
-            jax.tree_util.tree_leaves(mut_on["batch_stats"]),
-            jax.tree_util.tree_leaves(mut_off["batch_stats"]),
-        ):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
-
-
-class TestStemPoolFused:
-    """stem_pool_minmax (ops/stem_pool.py): the fully fused stage-1
-    forward (conv + stats + window max/min, no full-res HBM tensor) and
-    its two-kernel backward."""
-
-    CASES = [((2, 6, 8, 6), 4), ((1, 7, 9, 7), 4)]  # even + odd dims
-
-    def test_forward_parity_interpret(self, rng):
-        from transmf_ad_tpu.ops.stem_pool import (_sp_reference,
-                                                  stem_pool_minmax)
-
-        for shape, C in self.CASES:
-            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-            w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.2,
-                            jnp.float32)
-            ref = _sp_reference(x, w)
-            got = stem_pool_minmax(x, w, True, True)
-            for name, a, b in zip(("ymax", "ymin", "st"), ref, got):
-                np.testing.assert_allclose(
-                    np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-4,
-                    err_msg=f"{shape} {name}")
-
-    def test_grad_parity_interpret(self, rng):
-        from transmf_ad_tpu.ops.stem_pool import (_sp_reference,
-                                                  stem_pool_minmax)
-
-        for shape, C in self.CASES:
-            x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-            w = jnp.asarray(rng.standard_normal((3, 3, 3, C)) * 0.2,
-                            jnp.float32)
-
-            def loss(fn):
-                def f(x, w):
-                    ymax, ymin, st = fn(x, w)
-                    return (jnp.sum(ymax ** 2) + jnp.sum(jnp.sin(ymin))
-                            + jnp.sum(jnp.cos(st * 0.1)))
-                return f
-
-            g1 = jax.grad(loss(lambda x, w: stem_pool_minmax(x, w, True, True)),
-                          argnums=(0, 1))(x, w)
-            g2 = jax.grad(loss(_sp_reference), argnums=(0, 1))(x, w)
-            for name, a, b in zip(("dx", "dw"), g2, g1):
-                np.testing.assert_allclose(
-                    np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
-                    err_msg=f"{shape} {name}")
-
-    def test_convbnact_stem_path_matches_unfused(self, rng):
-        """ConvBNAct train forward via the fused stem+pool path must match
-        the pure-XLA path: outputs AND updated batch stats (the negative-
-        scale min-branch is exercised by forcing a negative gamma)."""
-        from transmf_ad_tpu.nn.blocks import ConvBNAct
-
-        x = jnp.asarray(rng.standard_normal((2, 8, 10, 8, 1)), jnp.float32)
-        m_on = ConvBNAct(4, pool="max", use_stem_kernel=True,
-                         fuse_stem_pool=True)
-        m_off = ConvBNAct(4, pool="max", use_stem_kernel=False)
-        v = m_on.init(jax.random.key(0), x, True)
-        # flip one channel's gamma negative: selects the window-min branch
-        gamma = np.array(v["params"]["BatchNorm_0"]["scale"], copy=True)
-        gamma[0] = -abs(gamma[0])
-        v = {**v, "params": {**v["params"],
-                             "BatchNorm_0": {**v["params"]["BatchNorm_0"],
-                                             "scale": jnp.asarray(gamma)}}}
-
-        y_on, mut_on = m_on.apply(v, x, True, mutable=["batch_stats"])
-        y_off, mut_off = m_off.apply(v, x, True, mutable=["batch_stats"])
-        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
-                                   rtol=1e-4, atol=1e-5)
-        for a, b in zip(jax.tree_util.tree_leaves(mut_on["batch_stats"]),
-                        jax.tree_util.tree_leaves(mut_off["batch_stats"])):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
-
-    def test_snet_train_grads_match_unfused(self, rng):
-        """Full SNet: gradients through the fused stage-1 equal the
-        unfused path's (everything downstream consumes the fused output)."""
-        from transmf_ad_tpu.nn.blocks import SNet
-
-        x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)), jnp.float32)
-        import os
-
-        m_on = SNet(dim=8, use_pallas=True)
-        m_off = SNet(dim=8, use_pallas=False)
-        v = m_on.init(jax.random.key(1), x, True)
-
-        def loss(m):
-            def f(params):
-                out, _ = m.apply(
-                    {"params": params, "batch_stats": v["batch_stats"]},
-                    x, True, mutable=["batch_stats"])
-                return jnp.sum(out ** 2)
-            return f
-
-        os.environ["TRANSMF_STEM_POOL_FUSION"] = "1"  # fused stage-1 path
-        try:
-            l1, g1 = jax.value_and_grad(loss(m_on))(v["params"])
-        finally:
-            os.environ.pop("TRANSMF_STEM_POOL_FUSION", None)
-        l2, g2 = jax.value_and_grad(loss(m_off))(v["params"])
-        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
-        for (path, a), b in zip(
-            jax.tree_util.tree_leaves_with_path(g1),
-            jax.tree_util.tree_leaves(g2),
-        ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
-                err_msg=jax.tree_util.keystr(path))
 
 
 class TestBcPoolFused:

@@ -239,6 +239,90 @@ class TestSteps:
                                    np.asarray(ms_ref.confusion))
 
 
+class TestMaskedBN:
+    """mask_bn=True must make a duplicate-padded ragged batch train
+    EXACTLY like feeding the short batch as-is (the reference behavior,
+    reference: kfold_train_adversarial.py:64-66): BN batch moments,
+    running stats, loss and parameter updates all match."""
+
+    def _short_batch(self, rng, b=3, shape=(16, 16, 16)):
+        return {
+            "MRI": np.asarray(rng.standard_normal((b, *shape)), np.float32),
+            "PET": np.asarray(rng.standard_normal((b, *shape)), np.float32),
+            "label": np.asarray(rng.integers(0, 2, b), np.int32),
+        }
+
+    @pytest.mark.parametrize("name,modalities,adv", [
+        ("single", ("MRI",), False),
+        ("cnn_ad", ("MRI", "PET"), True),  # covers discriminator/head BN
+    ])
+    def test_padded_step_matches_short_batch(self, rng, name, modalities,
+                                             adv):
+        from transmf_ad_tpu.data.pipeline import pad_batch
+        from transmf_ad_tpu.models import build_model
+
+        short = self._short_batch(rng)
+        padded = pad_batch(dict(short), pad_to=4)
+        model = build_model(name, dim=8)
+        # SGD: the param delta is -lr*grad, so this asserts gradient
+        # equality directly (Adam's m/sqrt(v) amplifies ~1e-12 reduction-
+        # order differences on near-zero grads into +-lr sign flips)
+        tx, _ = build_optimizer("SGD", lr=1e-2, steps_per_epoch=1,
+                                milestones=())
+        inputs = [jnp.asarray(short[k][..., None]) for k in modalities]
+        state0 = create_state(model, tx, inputs, jax.random.key(0))
+
+        step_ref = make_train_step(modalities, adversarial=adv, aug_cfg=None,
+                                   donate=False)
+        step_mask = make_train_step(modalities, adversarial=adv,
+                                    aug_cfg=None, donate=False, mask_bn=True)
+        key = jax.random.key(1)
+        st_ref, aux_ref = step_ref(state0, short, key)
+        st_mask, aux_mask = step_mask(state0, padded, key)
+
+        assert float(aux_mask["ce_loss"]) == pytest.approx(
+            float(aux_ref["ce_loss"]), rel=1e-6)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_ref.batch_stats),
+            jax.tree_util.tree_leaves_with_path(st_mask.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"batch_stats mismatch at {pa}")
+        # f32 reduction-order noise: the 4-row vs 3-row conv-grad
+        # contractions round differently (~4e-6 abs observed on cnn_ad)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(st_ref.params),
+            jax.tree_util.tree_leaves_with_path(st_mask.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
+                err_msg=f"param mismatch at {pa}")
+
+    def test_unmasked_padded_step_deviates(self, rng):
+        """Sanity: withOUT mask_bn the duplicate-padded batch perturbs the
+        BN running statistics (the Weak-4 deviation this mode removes)."""
+        from transmf_ad_tpu.data.pipeline import pad_batch
+        from transmf_ad_tpu.models import build_model
+
+        short = self._short_batch(rng)
+        padded = pad_batch(dict(short), pad_to=4)
+        model = build_model("single", dim=8)
+        tx, _ = build_optimizer("Adam", lr=1e-3, steps_per_epoch=1)
+        state0 = create_state(model, tx, [jnp.asarray(short["MRI"][..., None])],
+                              jax.random.key(0))
+        step = make_train_step(("MRI",), adversarial=False, aug_cfg=None,
+                               donate=False)
+        st_ref, _ = step(state0, short, jax.random.key(1))
+        st_pad, _ = step(state0, padded, jax.random.key(1))
+        diffs = [
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(jax.tree_util.tree_leaves(st_ref.batch_stats),
+                            jax.tree_util.tree_leaves(st_pad.batch_stats))
+        ]
+        assert max(diffs) > 1e-7
+
+
 class TestProgressBar:
     def test_non_tty_logs_periodic_lines(self):
         import io

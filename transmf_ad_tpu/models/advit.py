@@ -92,12 +92,12 @@ class DepthCollapse(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
                   precision=self.precision, axis_name=self.axis_name)
-        x = ConvBNAct(32, kernel=(1, 1, 25), **kw)(x, train)
+        x = ConvBNAct(32, kernel=(1, 1, 25), **kw)(x, train, bn_mask)
         x = nn.max_pool(x, (1, 1, 2), strides=(1, 1, 2), padding="VALID")
-        x = ConvBNAct(1, kernel=(1, 1, 25), **kw)(x, train)
+        x = ConvBNAct(1, kernel=(1, 1, 25), **kw)(x, train, bn_mask)
         x = nn.max_pool(x, (1, 1, 2), strides=(1, 1, 2), padding="VALID")
         b, h, w, d, c = x.shape
         return x.reshape(b, h, w, d * c)
@@ -113,13 +113,13 @@ class ADVIT(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision,
                   use_pallas=self.use_pallas)
         cd = dict(dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name)
-        mri2d = DepthCollapse(name="to_2d_mri", **cd)(mri, train)
-        pet2d = DepthCollapse(name="to_2d_pet", **cd)(pet, train)
+        mri2d = DepthCollapse(name="to_2d_mri", **cd)(mri, train, bn_mask)
+        pet2d = DepthCollapse(name="to_2d_pet", **cd)(pet, train, bn_mask)
         mri_lat = ViTEncoder(name="vit_mri", **kw)(mri2d, train)
         pet_lat = ViTEncoder(name="vit_pet", **kw)(pet2d, train)
         fused = jnp.concatenate([mri_lat, pet_lat], axis=-1)

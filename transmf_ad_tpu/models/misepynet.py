@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.attention import _dense
+from ..nn.batchnorm import BatchNormMasked
 from ..nn.blocks import ConvBNAct
 
 Dtype = Any
@@ -40,18 +41,18 @@ class SliceCNN(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
                   precision=self.precision, axis_name=self.axis_name)
         L = self.length
-        b1 = ConvBNAct(8, kernel=(1, 1, L), **kw)(x, train)
+        b1 = ConvBNAct(8, kernel=(1, 1, L), **kw)(x, train, bn_mask)
         k2 = (L + 1) // 2
-        b2 = ConvBNAct(8, kernel=(1, 1, k2), **kw)(x, train)
-        b2 = ConvBNAct(8, kernel=(1, 1, k2), **kw)(b2, train)
+        b2 = ConvBNAct(8, kernel=(1, 1, k2), **kw)(x, train, bn_mask)
+        b2 = ConvBNAct(8, kernel=(1, 1, k2), **kw)(b2, train, bn_mask)
         k3 = (L + 2) // 3
-        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(x, train)
-        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(b3, train)
-        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(b3, train)
+        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(x, train, bn_mask)
+        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(b3, train, bn_mask)
+        b3 = ConvBNAct(8, kernel=(1, 1, k3), **kw)(b3, train, bn_mask)
         return b1, b2, b3
 
 
@@ -70,11 +71,12 @@ class SpatialCNN(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, s1, s2, s3, train: bool = False):
+    def __call__(self, s1, s2, s3, train: bool = False, bn_mask=None):
         stack = _StridedStack(kernel=self.kernel, pool=self.pool,
                               dtype=self.dtype, precision=self.precision,
                               axis_name=self.axis_name)
-        return stack(s1, train) + stack(s2, train) + stack(s3, train)
+        return (stack(s1, train, bn_mask) + stack(s2, train, bn_mask)
+                + stack(s3, train, bn_mask))
 
 
 class _StridedStack(nn.Module):
@@ -85,15 +87,16 @@ class _StridedStack(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         kw = dict(act="relu", padding="VALID", dtype=self.dtype,
                   precision=self.precision, axis_name=self.axis_name)
         k, p = self.kernel, self.pool
-        x = ConvBNAct(16, kernel=(k, k, 1), strides=(2, 2, 2), **kw)(x, train)
+        x = ConvBNAct(16, kernel=(k, k, 1), strides=(2, 2, 2), **kw)(
+            x, train, bn_mask)
         x = nn.max_pool(x, (p, p, 1), strides=(p, p, 1), padding="VALID")
-        x = ConvBNAct(32, kernel=(k, k, 1), **kw)(x, train)
+        x = ConvBNAct(32, kernel=(k, k, 1), **kw)(x, train, bn_mask)
         x = nn.max_pool(x, (p, p, 1), strides=(p, p, 1), padding="VALID")
-        x = ConvBNAct(64, kernel=(1, 1, 1), **kw)(x, train)
+        x = ConvBNAct(64, kernel=(1, 1, 1), **kw)(x, train, bn_mask)
         return x
 
 
@@ -109,7 +112,7 @@ class MiSePyNet(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, img, train: bool = False):
+    def __call__(self, img, train: bool = False, bn_mask=None):
         # img: (B, X, Y, Z, 1) channels-last; reference geometry (91,109,91)
         kw = dict(dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name)
@@ -123,9 +126,11 @@ class MiSePyNet(nn.Module):
         feats = []
         for name, view in views.items():
             length = view.shape[3]  # the collapsed (last spatial) axis
-            s1, s2, s3 = SliceCNN(length, name=f"slice_{name}", **kw)(view, train)
+            s1, s2, s3 = SliceCNN(length, name=f"slice_{name}", **kw)(
+                view, train, bn_mask)
             out = SpatialCNN(kernel=self.spatial_kernel, pool=self.spatial_pool,
-                             name=f"spatial_{name}", **kw)(s1, s2, s3, train)
+                             name=f"spatial_{name}", **kw)(
+                s1, s2, s3, train, bn_mask)
             # flatten channel-major like torch .view on NCDHW, so the fc
             # weights map 1:1 to the reference's (MiSePyNet.py:131-133)
             out = out.transpose(0, 4, 1, 2, 3)
@@ -143,21 +148,22 @@ class Mnet(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(spatial_kernel=self.spatial_kernel,
                   spatial_pool=self.spatial_pool,
                   dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name)
-        mri_feat = MiSePyNet(name="mri", **kw)(mri, train)
-        pet_feat = MiSePyNet(name="pet", **kw)(pet, train)
+        mri_feat = MiSePyNet(name="mri", **kw)(mri, train, bn_mask)
+        pet_feat = MiSePyNet(name="pet", **kw)(pet, train, bn_mask)
         x = jnp.concatenate([mri_feat, pet_feat], axis=-1)
         fan_in = x.shape[-1]
-        for w in (512, 64):
+        for i, w in enumerate((512, 64)):
             x = _dense(w, dtype=self.dtype, in_features=fan_in,
                        precision=self.precision)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.axis_name)(x)
+            x = BatchNormMasked(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                                axis_name=self.axis_name,
+                                name=f"BatchNorm_{i}")(
+                x, train=train, mask=bn_mask)
             x = nn.relu(x)
             x = nn.Dropout(0.5, deterministic=not train)(x)
             fan_in = w

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.attention import CrossTransformer, CrossTransformerModAvg, _dense
+from ..nn.batchnorm import BatchNormMasked
 from ..nn.blocks import SNet, global_avg_pool, tokens_from_volume
 from ..nn.grl import revgrad
 
@@ -71,16 +72,20 @@ class _FusionHead(nn.Module):
     drop_rate: float = 0.5  # reference hardcodes 0.5 (mymodel.py:190-192)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         widths = (512, 64)
         fan_in = self.in_features
-        for w in widths:
+        for i, w in enumerate(widths):
             x = _dense(w, dtype=self.dtype, in_features=fan_in,
                        precision=self.precision)(x)
             if self.use_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
-                                 axis_name=self.axis_name)(x)
+                # nn.BatchNorm-compatible tree (name included) + optional
+                # per-sample mask-weighted moments for padded batches
+                x = BatchNormMasked(momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype,
+                                    axis_name=self.axis_name,
+                                    name=f"BatchNorm_{i}")(
+                    x, train=train, mask=bn_mask)
             x = nn.relu(x)
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
             fan_in = w
@@ -97,12 +102,12 @@ class _Discriminator(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         x = _dense(128, dtype=self.dtype, in_features=x.shape[-1],
                    precision=self.precision)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.axis_name)(x)
+        x = BatchNormMasked(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                            axis_name=self.axis_name,
+                            name="BatchNorm_0")(x, train=train, mask=bn_mask)
         x = nn.relu(x)
         return _dense(2, dtype=self.dtype, in_features=128,
                       precision=self.precision)(x)
@@ -119,11 +124,11 @@ class ModelSingle(nn.Module):
     axis_name: Optional[str] = None  # data-shard axis for cross-device BN
 
     @nn.compact
-    def __call__(self, img, train: bool = False):
+    def __call__(self, img, train: bool = False, bn_mask=None):
         feat = _snet_cls(self.remat)(
             self.dim, dtype=self.dtype, precision=self.precision,
             use_pallas=self.use_pallas, axis_name=self.axis_name,
-            name="cnn")(img, train)
+            name="cnn")(img, train, bn_mask)
         vec = global_avg_pool(feat)
         return _MLPHead(64, in_features=self.dim, dtype=self.dtype,
                         precision=self.precision, name="fc")(vec)
@@ -140,12 +145,14 @@ class ModelCNN(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
         skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
-        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **skw)(mri, train))
-        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **skw)(pet, train))
+        mri_vec = global_avg_pool(
+            snet(self.dim, name="mri_cnn", **skw)(mri, train, bn_mask))
+        pet_vec = global_avg_pool(
+            snet(self.dim, name="pet_cnn", **skw)(pet, train, bn_mask))
         fused = jnp.concatenate([mri_vec, pet_vec], axis=-1)
         return _MLPHead(128, in_features=2 * self.dim, name="fc", **kw)(fused)
 
@@ -167,19 +174,21 @@ class ModelTransformer(nn.Module):
     head_dropout: float = 0.5  # library extra; reference hardcodes 0.5
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
         skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
-        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **skw)(mri, train))
-        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **skw)(pet, train))
+        mri_tok = tokens_from_volume(
+            snet(self.dim, name="mri_cnn", **skw)(mri, train, bn_mask))
+        pet_tok = tokens_from_volume(
+            snet(self.dim, name="pet_cnn", **skw)(pet, train, bn_mask))
         fused = CrossTransformerModAvg(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
         )(mri_tok, pet_tok, train)
         return _FusionHead(4 * self.dim, axis_name=self.axis_name,
                            drop_rate=self.head_dropout,
-                           name="fc_cls", **kw)(fused, train)
+                           name="fc_cls", **kw)(fused, train, bn_mask)
 
 
 class ModelTransformerRes(nn.Module):
@@ -199,12 +208,14 @@ class ModelTransformerRes(nn.Module):
     head_dropout: float = 0.5  # library extra; reference hardcodes 0.5
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
         skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
-        mri_tok = tokens_from_volume(snet(self.dim, name="mri_cnn", **skw)(mri, train))
-        pet_tok = tokens_from_volume(snet(self.dim, name="pet_cnn", **skw)(pet, train))
+        mri_tok = tokens_from_volume(
+            snet(self.dim, name="mri_cnn", **skw)(mri, train, bn_mask))
+        pet_tok = tokens_from_volume(
+            snet(self.dim, name="pet_cnn", **skw)(pet, train, bn_mask))
         mri_f, pet_f = CrossTransformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
             self.dropout, use_pallas=self.use_pallas, name="fuse_transformer", **kw
@@ -216,7 +227,7 @@ class ModelTransformerRes(nn.Module):
         )
         return _FusionHead(2 * self.dim, use_batchnorm=False,
                            drop_rate=self.head_dropout, name="fc_cls",
-                           **kw)(pooled, train)
+                           **kw)(pooled, train, bn_mask)
 
 
 class ModelCNNAd(nn.Module):
@@ -235,16 +246,18 @@ class ModelCNNAd(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
         skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
-        mri_vec = global_avg_pool(snet(self.dim, name="mri_cnn", **skw)(mri, train))
-        pet_vec = global_avg_pool(snet(self.dim, name="pet_cnn", **skw)(pet, train))
+        mri_vec = global_avg_pool(
+            snet(self.dim, name="mri_cnn", **skw)(mri, train, bn_mask))
+        pet_vec = global_avg_pool(
+            snet(self.dim, name="pet_cnn", **skw)(pet, train, bn_mask))
 
         disc = _Discriminator(axis_name=self.axis_name, name="D", **kw)
-        d_mri = disc(revgrad(mri_vec, self.grl_alpha), train)
-        d_pet = disc(revgrad(pet_vec, self.grl_alpha), train)
+        d_mri = disc(revgrad(mri_vec, self.grl_alpha), train, bn_mask)
+        d_pet = disc(revgrad(pet_vec, self.grl_alpha), train, bn_mask)
 
         fused = jnp.concatenate([mri_vec, pet_vec], axis=-1)
         logits = _MLPHead(128, in_features=2 * self.dim, name="fc_cls", **kw)(fused)
@@ -270,16 +283,18 @@ class ModelAd(nn.Module):
     head_dropout: float = 0.5  # library extra; reference hardcodes 0.5
 
     @nn.compact
-    def __call__(self, mri, pet, train: bool = False):
+    def __call__(self, mri, pet, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision)
         snet = _snet_cls(self.remat)
         skw = dict(use_pallas=self.use_pallas, axis_name=self.axis_name, **kw)
-        mri_feat = snet(self.dim, name="mri_cnn", **skw)(mri, train)
-        pet_feat = snet(self.dim, name="pet_cnn", **skw)(pet, train)
+        mri_feat = snet(self.dim, name="mri_cnn", **skw)(mri, train, bn_mask)
+        pet_feat = snet(self.dim, name="pet_cnn", **skw)(pet, train, bn_mask)
 
         disc = _Discriminator(axis_name=self.axis_name, name="D", **kw)
-        d_mri = disc(revgrad(global_avg_pool(mri_feat), self.grl_alpha), train)
-        d_pet = disc(revgrad(global_avg_pool(pet_feat), self.grl_alpha), train)
+        d_mri = disc(revgrad(global_avg_pool(mri_feat), self.grl_alpha),
+                     train, bn_mask)
+        d_pet = disc(revgrad(global_avg_pool(pet_feat), self.grl_alpha),
+                     train, bn_mask)
 
         fused = CrossTransformerModAvg(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
@@ -287,5 +302,5 @@ class ModelAd(nn.Module):
         )(tokens_from_volume(mri_feat), tokens_from_volume(pet_feat), train)
         logits = _FusionHead(4 * self.dim, axis_name=self.axis_name,
                              drop_rate=self.head_dropout,
-                             name="fc_cls", **kw)(fused, train)
+                             name="fc_cls", **kw)(fused, train, bn_mask)
         return logits, d_mri, d_pet

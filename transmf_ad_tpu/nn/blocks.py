@@ -59,14 +59,17 @@ class ConvBNAct(nn.Module):
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     axis_name: Optional[str] = None
     use_stem_kernel: Optional[bool] = None  # None => auto (TPU only)
-    body_stats: bool = False  # Pallas BN-stats for XLA body convs (A/B: off)
-    # one-kernel stage-1 (ops/stem_pool.py); default OFF: the full-step
-    # A/B LOST ~12 ms (60.5 -> 72.5 ms/step) — see docs/PERFORMANCE.md.
-    # None = off unless the TRANSMF_STEM_POOL_FUSION env var is set.
-    fuse_stem_pool: Optional[bool] = None
+    # (two round-3 kernels that measurably LOST their full-step A/Bs —
+    # stage-1 mega-fusion and Pallas body-conv BN-stats — were deleted in
+    # round 4; docs/PERFORMANCE.md keeps the write-ups, git keeps the code)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
+        # bn_mask: optional (B,) 0/1 validity weights for the BN batch
+        # moments — real samples only, so duplicate-padded ragged batches
+        # (data/pipeline.py::pad_batch) produce the reference's short-batch
+        # statistics exactly. When given, producer-kernel stats are
+        # discarded in favor of a mask-weighted reduction (ManualBN).
         from ..ops.pool3d import (avg_pool3d_2x2, max_pool3d_2x2,
                                   max_pool3d_2x2_affine_act)
         from ..ops.stem import stem_conv
@@ -104,34 +107,6 @@ class ConvBNAct(nn.Module):
         # linear conv output; the bias folds into the BN affine below
         stats = None
         if use_stem and stem_ok:
-            fuse = self.fuse_stem_pool
-            if fuse is None:
-                from ..utils.env import env_flag
-
-                fuse = env_flag("TRANSMF_STEM_POOL_FUSION")
-            if train and self.pool == "max" and fuse:
-                # fully fused stage: conv + Σ/Σ² stats + window max/min in
-                # ONE kernel — the full-resolution tensor never exists in
-                # HBM. Max AND min ship because the BN affine sign is
-                # unknown pre-stats; the affine+activation then applies on
-                # the 16x-smaller pooled tensor (ops/stem_pool.py).
-                from ..ops.stem_pool import stem_pool_minmax
-
-                ymax, ymin, st = stem_pool_minmax(
-                    xd[..., 0], kd[:, :, :, 0, :])
-                Z = x.shape[3]
-                stc = st.reshape(2, Z, self.features).sum(axis=1)
-                n = int(np.prod(x.shape[:-1]))
-                scale, shift = ManualBN(
-                    momentum=self.bn_momentum, epsilon=1e-5,
-                    axis_name=self.axis_name, name="BatchNorm_0",
-                )(ymax, conv_bias=bias, train=True,
-                  stats=(stc[0], stc[1], n))
-                # pooled(act(s*y+b)) = act(s*max(y)+b) for s>=0 else
-                # act(s*min(y)+b): max/leaky are monotone, s per-channel
-                slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
-                ysel = jnp.where(scale >= 0, ymax, ymin)
-                return bn_affine_reference(ysel, scale, shift, slope)
             if train:
                 from ..ops.stem import stem_conv_stats
 
@@ -184,23 +159,16 @@ class ConvBNAct(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 precision=self.precision,
             )
-            # The Pallas BN-stats reduction (ops/stats.py) is OFF here by
-            # default: its full-step A/B LOST ~2.6 ms — the kernel's
-            # (b,X,Y,Z*C) view forces layout copies around the conv output
-            # that outweigh the convert_reduce it removes (profiled
-            # round 3, docs/PERFORMANCE.md).
-            if self.body_stats and train and self.precision is None:
-                from ..ops.stats import channel_stats, stats_profitable
+            # Body-conv BN stats stay in XLA (`convert_reduce` fusions):
+            # the round-3 Pallas replacement LOST ~2.6 ms/step to layout
+            # copies and was deleted (docs/PERFORMANCE.md round 3, #2).
 
-                if stats_profitable(y):
-                    st2 = channel_stats(y)
-                    n = int(np.prod(y.shape[:-1]))
-                    stats = (st2[0], st2[1], n)
-
+        if bn_mask is not None:
+            stats = None  # producer-kernel sums cover padded duplicates
         scale, shift = ManualBN(
             momentum=self.bn_momentum, epsilon=1e-5,
             axis_name=self.axis_name, name="BatchNorm_0",
-        )(y, conv_bias=bias, train=train, stats=stats)
+        )(y, conv_bias=bias, train=train, stats=stats, mask=bn_mask)
         slope = {"leaky_relu": 0.01, "relu": 0.0, "none": 1.0}[self.act]
 
         if self.pool == "max" and y.ndim == 5:
@@ -302,7 +270,7 @@ class SNet(nn.Module):
     remat: bool = False  # rematerialize per conv block (activation memory)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, bn_mask=None):
         kw = dict(dtype=self.dtype, precision=self.precision,
                   axis_name=self.axis_name, use_stem_kernel=self.use_pallas)
         # SELECTIVE per-block remat: a rematted ConvBNAct recomputes its
@@ -331,7 +299,8 @@ class SNet(nn.Module):
             # explicit names: the remat lift renames the auto-derived
             # module ("CheckpointConvBNAct_i"), which would fork the param
             # tree between remat settings and break checkpoint portability
-            x = cls(feats, **extra, **kw, name=f"ConvBNAct_{i}")(x, train)
+            x = cls(feats, **extra, **kw, name=f"ConvBNAct_{i}")(
+                x, train, bn_mask)
         return x
 
 

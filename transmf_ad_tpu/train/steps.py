@@ -100,6 +100,7 @@ def make_train_step(
     donate: bool = True,
     mesh=None,
     data_axis: str = "data",
+    mask_bn: bool = False,
 ):
     """Build the jitted train step.
 
@@ -112,6 +113,14 @@ def make_train_step(
     auto over the remaining axes (XLA tensor-parallelism). The model must
     then be built with `axis_name=data_axis` so BatchNorm statistics psum
     to the global batch. Loss and gradients are exact global reductions.
+
+    `mask_bn=True` additionally feeds the batch validity mask into every
+    BatchNorm's batch moments, so duplicate-padded ragged batches
+    (data/pipeline.py::pad_batch) produce the statistics of the short
+    batch alone — the reference semantics
+    (reference: kfold_train_adversarial.py:64-66). Costs one extra
+    bandwidth-bound read of each conv output on the stem paths whose
+    producer-kernel stats must be discarded.
     """
     modalities = tuple(modalities)
     axis_name = data_axis if mesh is not None else None
@@ -128,11 +137,14 @@ def make_train_step(
         # fixed (mesh-divisible) size; padded duplicates carry zero loss
         mask = batch.get("mask")
 
+        bn_mask = mask if (mask_bn and mask is not None) else None
+
         def loss_fn(params):
             out, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 *inputs,
                 train=True,
+                bn_mask=bn_mask,
                 rngs={"dropout": dropout_key},
                 mutable=["batch_stats"],
             )
