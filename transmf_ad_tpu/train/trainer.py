@@ -59,7 +59,16 @@ class TrainerConfig:
     save_latest_every: int = 0  # epochs between resume checkpoints; 0 = off
     data_parallel: bool = True  # shard batch over all devices when > 1
     model_parallel: int = 1  # tensor-parallel axis size (divides devices)
+    # HBM-resident dataset cache: 'auto' caches train+val volumes on
+    # device when they fit the budget (data/device_cache.py) — zero H2D
+    # volume bytes per epoch after the first; 'off' always streams;
+    # 'on' raises if the dataset exceeds the budget.
+    device_cache: str = "auto"
     pretrained_path: str = ""  # load params/batch_stats before training
+    # mask BN batch moments to real samples on duplicate-padded ragged
+    # batches (reference short-batch BN semantics; see pad_batch). Off by
+    # default pending the on-chip cost A/B (docs/PERFORMANCE.md).
+    mask_bn: bool = False
     remat: bool = False  # rematerialize sNet encoders (activation memory)
     # (the reference only hints at this via a commented-out block,
     # reference: kfold_train_adversarial.py:80-83)
@@ -169,7 +178,19 @@ class Trainer:
             self.model, tx, inputs, jax.random.key(cfg.seed)
         )
         if cfg.pretrained_path:
-            restored = ckpt.load(cfg.pretrained_path, _saveable(self.state))
+            if cfg.pretrained_path.endswith((".pt", ".pth")):
+                # reference torch checkpoint (ignite best_label_*.pt /
+                # pretrainAD.pt) — map the state_dict into flax trees
+                # (reference: kfold_train_adversarial.py:80-83)
+                from ..utils.torch_import import import_torch_checkpoint
+
+                restored = import_torch_checkpoint(
+                    cfg.pretrained_path, cfg.model,
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats})
+            else:
+                restored = ckpt.load(cfg.pretrained_path,
+                                     _saveable(self.state))
             self.state = _restore_state(self.state, restored)
             self.logger.print_message(
                 f"Load pre-training model {cfg.pretrained_path}")
@@ -241,11 +262,17 @@ class Trainer:
         it = iter_progress(loader, total=len(loader) if hasattr(
             loader, "__len__") else None, label="Evaluating",
             enabled=self.cfg.progress)
+        device_resident = getattr(loader, "device_resident", False)
         for b in it:
-            if pad_to is None:
-                base = getattr(loader, "batch_size", None) or b["label"].shape[0]
-                pad_to = -(-max(base, b["label"].shape[0]) // n_data) * n_data
-            dev = self._place(self._pad_eval_batch(b, pad_to))
+            if device_resident:
+                dev = b  # already padded+masked+sharded by the HBM cache
+            else:
+                if pad_to is None:
+                    base = (getattr(loader, "batch_size", None)
+                            or b["label"].shape[0])
+                    pad_to = -(-max(base, b["label"].shape[0])
+                               // n_data) * n_data
+                dev = self._place(self._pad_eval_batch(b, pad_to))
             ms, out = eval_step(self.state, ms, dev)
             probs.append(out["probs"])
             labels.append(out["label"])
@@ -289,9 +316,54 @@ class Trainer:
         train_step = make_train_step(
             self.modalities, self.adversarial, aug_cfg,
             class_weights=class_weights, mesh=self.mesh,
+            mask_bn=cfg.mask_bn,
         )
         self._eval_step = make_eval_step(self.modalities, self.adversarial,
                                          mesh=self.mesh)
+
+        # ---- feeds ----
+        # Preferred: HBM-resident dataset cache (zero H2D volume bytes per
+        # epoch after the one-time fill; batches gathered on device).
+        # Fallback: streaming DeviceFeed (double-buffered H2D, sharded over
+        # the data axis), e.g. full-resolution sets over the HBM budget.
+        from ..data.device_cache import (DeviceCachedFeed, cache_bytes,
+                                         hbm_budget)
+        from ..data.pipeline import DeviceFeed
+
+        n_data = self._data_axis_size()
+        base = (getattr(train_loader, "batch_size", None)
+                or sample["label"].shape[0])
+        pad_to = -(-base // n_data) * n_data
+        feed = train_loader
+        val_feed = val_loader
+        already_fed = (isinstance(train_loader, DeviceFeed)
+                       or getattr(train_loader, "device_resident", False))
+        if not already_fed and cfg.device_cache in ("auto", "on") \
+                and hasattr(train_loader, "source"):
+            budget = hbm_budget()
+            tb = cache_bytes(train_loader, self.mesh)
+            if tb <= budget:
+                feed = DeviceCachedFeed(train_loader, self.mesh,
+                                        pad_to=pad_to)
+                vb = (cache_bytes(val_loader, self.mesh)
+                      if hasattr(val_loader, "source") else budget)
+                if tb + vb <= budget:
+                    val_feed = DeviceCachedFeed(val_loader, self.mesh)
+                logger.print_message(
+                    f"HBM dataset cache: train {tb / 2**20:.0f} MB/device"
+                    + ("" if val_feed is val_loader
+                       else f" + val {vb / 2**20:.0f} MB/device")
+                    + f" (budget {budget / 2**20:.0f} MB)")
+            elif cfg.device_cache == "on":
+                raise ValueError(
+                    f"device_cache='on' but the training set needs "
+                    f"{tb / 2**20:.0f} MB/device > budget "
+                    f"{budget / 2**20:.0f} MB (set TRANSMF_CACHE_BUDGET_MB "
+                    f"or use device_cache='auto' to stream)")
+        if feed is train_loader and not isinstance(train_loader, DeviceFeed):
+            feed = DeviceFeed(train_loader, self._batch_sharding, depth=2,
+                              pad_to=pad_to)
+
         base_rng = jax.random.key(cfg.seed + 1)
 
         checkpointer = ckpt.BestCheckpointer(cfg.save_dir)
@@ -400,7 +472,7 @@ class Trainer:
 
         @trainer.on(Events.EPOCH_COMPLETED)
         def validate(engine):
-            metrics = self.evaluate(val_loader)
+            metrics = self.evaluate(val_feed)
             logger.print_message(
                 f"Validation Results - Epoch[{engine.state.epoch}] "
             )
@@ -429,19 +501,6 @@ class Trainer:
 
                 multihost_utils.sync_global_devices("transmf_ckpt")
 
-        # Production feed: H2D transfers run `depth` steps ahead of compute
-        # (double-buffered; sharded over the mesh's data axis when present).
-        # Ragged batches (variants without drop_last) are duplicate-padded
-        # to ONE fixed, mesh-divisible shape with a loss mask: a single
-        # train-step compile per fold, and a batch jax.shard_map can shard.
-        from ..data.pipeline import DeviceFeed
-
-        n_data = self._data_axis_size()
-        base = getattr(train_loader, "batch_size", None) or sample["label"].shape[0]
-        pad_to = -(-base // n_data) * n_data
-        feed = (train_loader if isinstance(train_loader, DeviceFeed)
-                else DeviceFeed(train_loader, self._batch_sharding, depth=2,
-                                pad_to=pad_to))
         trainer.run(feed, cfg.epochs, start_epoch=start_epoch)
 
         res_fold = None
