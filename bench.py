@@ -1,14 +1,29 @@
 #!/usr/bin/env python
 """Benchmark harness: flagship training throughput on the current backend.
 
-Measures MRI+PET volumes/sec/chip for a full ModelAd training step (fwd+bwd+
-optimizer, batch 8, ADNI shape 91x109x91 — the BASELINE.json north-star
-metric) and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line. The primary metric (unchanged since round 1 for
+cross-round comparability) is MRI+PET volumes/sec/chip for a full ModelAd
+training step (fwd+bwd+optimizer, batch 8, ADNI shape 91x109x91 — the
+BASELINE.json north-star metric), measured with the legacy dispatch loop:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 vs_baseline divides by the PyTorch-CPU reference throughput measured by
 scripts/measure_torch_baseline.py (recorded in BASELINE_MEASURED.json; the
 reference repo publishes no numbers of its own — see BASELINE.md).
+
+Extra fields report the axes the dispatch metric is blind to (each is
+None if its measurement fails, e.g. during a tunnel outage):
+  - trace_ms_per_step: device truth for the same step via slope timing
+    (step inside one jitted lax.scan at two lengths; dispatch/fetch
+    overheads cancel — scripts/_timing.py).
+  - fullres_b4_vols_per_sec: full-resolution 182x218x182 training at the
+    measured batch-4 optimum (z-blocked banded stem regime).
+  - cached_epoch_vols_per_sec: DELIVERED real-data throughput — wall
+    epochs over decoded NIfTI files with the HBM-resident dataset cache
+    (data/device_cache.py), the feed a user actually experiences.
+  - stream_epoch_vols_per_sec: same epochs through the round-3 streaming
+    host feed (DeviceFeed), for the A/B delta.
+Skip knobs: BENCH_FULLRES=0, BENCH_CACHED=0.
 """
 
 import json
@@ -17,6 +32,8 @@ import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 SHAPE = (91, 109, 91)
+FULLRES_SHAPE = (182, 218, 182)
+FULLRES_BATCH = int(os.environ.get("BENCH_FULLRES_BATCH", 4))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
@@ -32,28 +49,28 @@ def _baseline_volumes_per_sec() -> float:
         return float("nan")
 
 
-def main():
+def _build(batch_size, shape, remat=False):
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
     import numpy as np
 
+    from transmf_ad_tpu.data.transforms import AugmentConfig
     from transmf_ad_tpu.models import build_model
     from transmf_ad_tpu.train.optim import build_optimizer
     from transmf_ad_tpu.train.steps import create_state, make_train_step
 
     rng = np.random.default_rng(0)
     batch = {
-        "MRI": jnp.asarray(rng.standard_normal((BATCH, *SHAPE)), jnp.float32),
-        "PET": jnp.asarray(rng.standard_normal((BATCH, *SHAPE)), jnp.float32),
-        "label": jnp.asarray(rng.integers(0, 2, BATCH), jnp.int32),
+        "MRI": jnp.asarray(rng.standard_normal((batch_size, *shape)),
+                           jnp.bfloat16),
+        "PET": jnp.asarray(rng.standard_normal((batch_size, *shape)),
+                           jnp.bfloat16),
+        "label": jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),
     }
     # bf16 activations/compute with f32 params: the TPU-idiomatic training
     # mode (halves step time vs f32; see docs/PERFORMANCE.md).
-    model = build_model("ad", dim=128, depth=3, heads=4, dtype=jnp.bfloat16)
+    model = build_model("ad", dim=128, depth=3, heads=4, dtype=jnp.bfloat16,
+                        remat=remat)
     tx, _ = build_optimizer("Adam", 1e-4, steps_per_epoch=1)
     state = create_state(
         model, tx, [batch["MRI"][..., None], batch["PET"][..., None]],
@@ -62,12 +79,16 @@ def main():
     # Augmentation ON: the production training step. Device-side banded-
     # matmul augmentation adds ~1 ms, so this matches the aug-off
     # (torch-comparable) number within noise — see docs/PERFORMANCE.md.
-    from transmf_ad_tpu.data.transforms import AugmentConfig
-
     step = make_train_step(("MRI", "PET"), adversarial=True,
                            aug_cfg=AugmentConfig())
-    key = jax.random.key(1)
+    return state, step, batch
 
+
+def bench_legacy(state, step, batch):
+    """Round-1 dispatch-loop metric (kept for cross-round comparability)."""
+    import jax
+
+    key = jax.random.key(1)
     for _ in range(WARMUP):
         state, aux = step(state, batch, key)
     float(aux["loss"])  # full value fetch: reliable sync on all platforms
@@ -85,8 +106,116 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     if prof:
         jax.profiler.stop_trace()
+    # the step donates its input state, so callers must use the returned
+    # one — the original buffers are gone
+    return BATCH / dt, state
 
-    vols_per_sec = BATCH / dt
+
+def bench_trace(state, step, batch):
+    """Device ms/step via slope timing (tunnel overheads cancel)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import jax
+
+    from _timing import scan_slope_time_state
+
+    key = jax.random.key(1)
+    sec = scan_slope_time_state(
+        lambda st, b: step(st, b, key), state, batch, iters=10, reps=2)
+    return sec * 1e3
+
+
+def bench_fullres():
+    """Full-resolution training at the measured batch-4 optimum
+    (docs/PERFORMANCE.md 'Full-resolution training')."""
+    import jax
+
+    state, step, batch = _build(FULLRES_BATCH, FULLRES_SHAPE, remat=False)
+    key = jax.random.key(1)
+    for _ in range(2):
+        state, aux = step(state, batch, key)
+    float(aux["loss"])
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        state, aux = step(state, batch, key)
+    float(aux["loss"])
+    dt = (time.perf_counter() - t0) / n
+    return FULLRES_BATCH / dt
+
+
+def bench_epochs(state, step):
+    """Delivered real-data epochs: decoded NIfTI files -> HBM-cached vs
+    streaming feed, wall-clock volumes/s (median of 5 epochs each)."""
+    import numpy as np
+
+    import jax
+
+    from transmf_ad_tpu.data.adni import ADNI
+    from transmf_ad_tpu.data.device_cache import DeviceCachedFeed
+    from transmf_ad_tpu.data.pipeline import DeviceFeed, Loader, VolumeSource
+    from transmf_ad_tpu.data.synthetic import make_synthetic_adni
+
+    root = os.environ.get("BENCH_ADNI_ROOT", "/tmp/bench_adni_full")
+    if not os.path.isdir(os.path.join(root, "MRI")):
+        make_synthetic_adni(root, n_per_group=28, shape=SHAPE, seed=0)
+    recs = ADNI(root, "ADNI.csv", "ADCN").data_dict
+    import jax.numpy as jnp
+
+    src = VolumeSource(recs, dtype=jnp.bfloat16)
+    loader = Loader(src, batch_size=BATCH, shuffle=True, drop_last=True,
+                    seed=0)
+    for i in range(len(src)):  # pre-fill RAM cache (decode excluded)
+        src[i]
+    key = jax.random.key(1)
+
+    def run_epochs(feed, n_epochs=5):
+        times = []
+        for _ in range(n_epochs):
+            t0 = time.perf_counter()
+            n = 0
+            for b in feed:
+                state2, aux = step(_state[0], b, key)
+                _state[0] = state2
+                n += BATCH
+            float(np.asarray(aux["loss"]))  # value-fetch sync
+            times.append(time.perf_counter() - t0)
+        return n / float(np.median(times))
+
+    _state = [state]
+    cached = run_epochs(DeviceCachedFeed(loader, mesh=None, pad_to=BATCH))
+    streamed = run_epochs(DeviceFeed(loader, depth=2, pad_to=BATCH))
+    return cached, streamed
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    state, step, batch = _build(BATCH, SHAPE)
+    vols_per_sec, state = bench_legacy(state, step, batch)
+
+    trace_ms = fullres = cached = streamed = None
+    try:
+        trace_ms = round(bench_trace(state, step, batch), 2)
+    except Exception:
+        pass
+    if os.environ.get("BENCH_CACHED", "1") != "0":
+        try:
+            cached, streamed = bench_epochs(state, step)
+            cached, streamed = round(cached, 1), round(streamed, 1)
+        except Exception:
+            pass
+    if os.environ.get("BENCH_FULLRES", "1") != "0":
+        try:
+            fullres = round(bench_fullres(), 2)
+        except Exception:
+            pass
+
     base = _baseline_volumes_per_sec()
     vs = vols_per_sec / base if base == base else None  # NaN-safe
     print(json.dumps({
@@ -94,6 +223,10 @@ def main():
         "value": round(vols_per_sec, 3),
         "unit": "volumes/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "trace_ms_per_step": trace_ms,
+        "fullres_b4_vols_per_sec": fullres,
+        "cached_epoch_vols_per_sec": cached,
+        "stream_epoch_vols_per_sec": streamed,
     }))
 
 
