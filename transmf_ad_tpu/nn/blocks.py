@@ -106,6 +106,7 @@ class ConvBNAct(nn.Module):
             use_stem = stem_structural and jax.default_backend() == "tpu"
         # linear conv output; the bias folds into the BN affine below
         stats = None
+        band_world = False  # banded body conv emitted the merged layout
         if use_stem and stem_ok:
             if train:
                 from ..ops.stem import stem_conv_stats
@@ -151,17 +152,49 @@ class ConvBNAct(nn.Module):
                 n = int(np.prod(y.shape[:-1]))
                 stats = (st2[0], st2[1], n)
         else:
-            # Body convs stay XLA: its TPU 3D convs run at up to 183 TF/s
-            # here and the Pallas body-conv kernel measurably loses
-            # (docs/PERFORMANCE.md "Reversed round-1 conclusions").
-            y = jax.lax.conv_general_dilated(
-                xd, kd, self.strides, self.padding,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                precision=self.precision,
+            # Body convs: XLA by default (its TPU 3D convs run at up to
+            # 183 TF/s here; the round-2 Pallas body conv measurably lost
+            # — docs/PERFORMANCE.md "Reversed round-1 conclusions").
+            # TRANSMF_BAND_CONV=1 routes structural matches through the
+            # z-blocked banded-MXU kernel instead (ops/band_conv.py, the
+            # stem formulation generalized to Cin>1) — the round-4 shot at
+            # the full-res s2 im2col ceiling; A/B verdict in
+            # docs/PERFORMANCE.md decides the default.
+            use_band = False
+            band_structural = (
+                cin > 1
+                and self.kernel == (3, 3, 3)
+                and self.strides == (1, 1, 1)
+                and self.padding == "SAME"
+                and self.precision is None
+                and self.use_stem_kernel is not False
             )
+            if band_structural:
+                from ..ops.band_conv import band_conv_fits
+                from ..utils.env import env_flag
+
+                use_band = (
+                    env_flag("TRANSMF_BAND_CONV")
+                    and (self.use_stem_kernel
+                         or jax.default_backend() == "tpu")
+                    and band_conv_fits(x.shape[1:4], cin, self.features,
+                                       x.shape[0], jnp.dtype(dt).itemsize))
+            if use_band:
+                from ..ops.band_conv import band_conv3d
+
+                y = band_conv3d(xd, kd)
+                band_world = True
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xd, kd, self.strides, self.padding,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    precision=self.precision,
+                )
             # Body-conv BN stats stay in XLA (`convert_reduce` fusions):
             # the round-3 Pallas replacement LOST ~2.6 ms/step to layout
             # copies and was deleted (docs/PERFORMANCE.md round 3, #2).
+            # The banded kernel keeps that too: its merged row-major bf16
+            # output reduces lane-preservingly (no layout copy).
 
         if bn_mask is not None:
             stats = None  # producer-kernel sums cover padded duplicates
@@ -181,8 +214,9 @@ class ConvBNAct(nn.Module):
             # layout bitcasts instead of full-resolution copy+reshape chains
             # (~1.3 ms/modality at s2 — docs/PERFORMANCE.md round 3). The
             # stem path keeps the merged kernel: the stem Pallas kernel
-            # already emits the dense merged layout the pool wants.
-            body_conv = not (use_stem and stem_ok)
+            # already emits the dense merged layout the pool wants — and
+            # so does the banded body conv (band_world).
+            body_conv = not ((use_stem and stem_ok) or band_world)
             if body_conv and not env_flag("TRANSMF_NO_BC_POOL"):
                 return max_pool3d_2x2_affine_act_bc(
                     y, scale, shift, slope, self.use_stem_kernel)
