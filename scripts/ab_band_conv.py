@@ -6,8 +6,9 @@ Three levels, per the measurement discipline (CLAUDE.md):
   step    — full train-step dispatch timing (value-fetch sync) at crop or
             full resolution: `python scripts/ab_band_conv.py step
             [crop|fullres] [batch]`. Run each arm in its OWN process
-            (the flag is read at trace time): wrap with
-            TRANSMF_BAND_CONV=1 / =0.
+            (the flag is read at trace time): TRANSMF_BAND_CONV=0 (off) /
+            unset (production default: >= 400k-voxel stages) /
+            'all' (force every fitting stage, ignores the threshold).
   trace   — same step under jax.profiler.trace for per-op device truth:
             `python scripts/ab_band_conv.py trace [crop|fullres] [batch]
             /tmp/band_trace_on`; parse with scripts/parse_trace.py.
@@ -44,8 +45,11 @@ def kernel_ab(B, X, Y, Z, ci, co):
         if train:
             def f(x):
                 def loss(x, w):
-                    return jnp.sum(band_conv3d(
-                        x, w, use_pallas).astype(jnp.float32))
+                    y = band_conv3d(x, w, use_pallas).astype(jnp.float32)
+                    # data-dependent cotangent (gy = 2y): a constant gy
+                    # lets XLA constant-fold its dx/dw into box sums,
+                    # which no real training backward resembles
+                    return jnp.sum(y * y)
                 gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
                 return gx + 0 * jnp.sum(gw).astype(gx.dtype)
             return f
@@ -88,7 +92,7 @@ def build_step(res, batch):
 
 
 def step_ab(res, batch, trace_dir=None):
-    arm = "ON" if os.environ.get("TRANSMF_BAND_CONV") == "1" else "OFF"
+    arm = os.environ.get("TRANSMF_BAND_CONV", "auto(>=400k vox)")
     state, step, b = build_step(res, batch)
     key = jax.random.key(1)
     for _ in range(3):

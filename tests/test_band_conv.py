@@ -95,7 +95,9 @@ class TestBandConvRouting:
         x = jnp.asarray(rng.standard_normal((2, 16, 16, 16, 1)), jnp.float32)
 
         def run(band):
-            monkeypatch.setenv("TRANSMF_BAND_CONV", "1" if band else "0")
+            # 'all' ignores the production voxel threshold (test shapes
+            # are far below the 400k-voxel band gate)
+            monkeypatch.setenv("TRANSMF_BAND_CONV", "all" if band else "0")
             m = SNet(dim=16, use_pallas=band or None)
             v = m.init(jax.random.key(0), x, True)
 
@@ -120,7 +122,10 @@ class TestBandConvRouting:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
 
-    def test_band_off_by_default(self, rng, monkeypatch):
+    def test_band_off_below_threshold_by_default(self, rng, monkeypatch):
+        """Default mode is ON but gated to >= 400k-voxel stages; small
+        (crop-class and test) shapes never route through the band kernel
+        (the crop-res full-step A/B LOSES when forced — PERFORMANCE.md)."""
         monkeypatch.delenv("TRANSMF_BAND_CONV", raising=False)
         from transmf_ad_tpu.nn import blocks as blocks_mod
 

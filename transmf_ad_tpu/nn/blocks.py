@@ -152,14 +152,18 @@ class ConvBNAct(nn.Module):
                 n = int(np.prod(y.shape[:-1]))
                 stats = (st2[0], st2[1], n)
         else:
-            # Body convs: XLA by default (its TPU 3D convs run at up to
-            # 183 TF/s here; the round-2 Pallas body conv measurably lost
-            # — docs/PERFORMANCE.md "Reversed round-1 conclusions").
-            # TRANSMF_BAND_CONV=1 routes structural matches through the
-            # z-blocked banded-MXU kernel instead (ops/band_conv.py, the
-            # stem formulation generalized to Cin>1) — the round-4 shot at
-            # the full-res s2 im2col ceiling; A/B verdict in
-            # docs/PERFORMANCE.md decides the default.
+            # Body convs: XLA below the voxel threshold (its TPU 3D convs
+            # run at up to 183 TF/s at s3/s4 shapes), the z-blocked
+            # banded-MXU kernel above it (ops/band_conv.py, the stem
+            # formulation generalized to Cin>1). The round-4 A/B found the
+            # split is SPATIAL: at 91^3-class tensors XLA's im2col goes
+            # bandwidth-bound (~24 TF/s; banded train wins 1.3-1.7x,
+            # full-res step 353.2 -> 294.3 ms), while at 45^3-and-below it
+            # runs near the MXU roofline and banded loses (crop step
+            # 65.0 -> 77.1 ms when forced everywhere). Default: banded at
+            # >= 400k voxels (only full-resolution-class stages qualify).
+            # TRANSMF_BAND_CONV: '0' off | '1'/unset auto | 'all' ignores
+            # the threshold (A/Bs); TRANSMF_BAND_CONV_MIN_VOX overrides.
             use_band = False
             band_structural = (
                 cin > 1
@@ -170,11 +174,18 @@ class ConvBNAct(nn.Module):
                 and self.use_stem_kernel is not False
             )
             if band_structural:
-                from ..ops.band_conv import band_conv_fits
-                from ..utils.env import env_flag
+                import os
 
+                from ..ops.band_conv import band_conv_fits
+                from ..utils.env import _FALSY
+
+                mode = os.environ.get("TRANSMF_BAND_CONV", "1")
+                min_vox = int(os.environ.get(
+                    "TRANSMF_BAND_CONV_MIN_VOX", "400000"))
+                big = (mode == "all"
+                       or int(np.prod(x.shape[1:4])) >= min_vox)
                 use_band = (
-                    env_flag("TRANSMF_BAND_CONV")
+                    mode not in _FALSY and big
                     and (self.use_stem_kernel
                          or jax.default_backend() == "tpu")
                     and band_conv_fits(x.shape[1:4], cin, self.features,
