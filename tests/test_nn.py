@@ -1105,86 +1105,3 @@ class TestBcPoolFused:
                 err_msg=jax.tree_util.keystr(path))
 
 
-class TestMergedPoolBcOut:
-    """bc_out relayout for the merged affine pool (ops/pool3d.py): the s1
-    stage end hands its pooled tensor to the s2a XLA conv in the conv's
-    native layout via an in-VMEM Pallas relayout instead of XLA's
-    transposing HBM copies. Must be BITWISE identical to bc_out=False —
-    it only changes physical layout, never values or tie-splitting."""
-
-    @pytest.fixture
-    def rng(self):
-        return np.random.default_rng(11)
-
-    # even dims, odd X tail, odd Z tail, odd Y — all boundary regimes
-    SHAPES = [(2, 6, 8, 6, 8), (3, 7, 6, 9, 4), (2, 5, 7, 9, 2),
-              (1, 4, 4, 4, 3)]
-
-    def test_bitwise_parity_fwd_and_grads(self, rng):
-        from transmf_ad_tpu.ops.pool3d import max_pool3d_2x2_affine_act
-
-        for shape in self.SHAPES:
-            C, Z = shape[-1], shape[-2]
-            y = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
-            s = jnp.asarray(rng.standard_normal(Z * C) * 0.5 + 1,
-                            jnp.float32)
-            b = jnp.asarray(rng.standard_normal(Z * C) * 0.1, jnp.float32)
-            o0 = max_pool3d_2x2_affine_act(y, s, b, 0.01, True, True, False)
-            o1 = max_pool3d_2x2_affine_act(y, s, b, 0.01, True, True, True)
-            np.testing.assert_array_equal(np.asarray(o0, np.float32),
-                                          np.asarray(o1, np.float32))
-            g = jnp.asarray(rng.standard_normal(o0.shape), jnp.float32)
-
-            def f(bc):
-                def inner(y, s, b):
-                    o = max_pool3d_2x2_affine_act(y, s, b, 0.01, True,
-                                                  True, bc)
-                    return jnp.vdot(o.astype(jnp.float32), g)
-                return inner
-
-            g0 = jax.grad(f(False), argnums=(0, 1, 2))(y, s, b)
-            g1 = jax.grad(f(True), argnums=(0, 1, 2))(y, s, b)
-            for a, c in zip(g0, g1):
-                np.testing.assert_array_equal(np.asarray(a, np.float32),
-                                              np.asarray(c, np.float32))
-
-    def test_fits_gate(self):
-        from transmf_ad_tpu.ops.pool3d import _m2bc_fits
-
-        # production s1 pooled shape fits; full-res pooled (Zp=91 -> 20 MB
-        # padded block) must NOT, so full-res keeps the status-quo path
-        assert _m2bc_fits(8, 54, 45, 32, 2)
-        assert not _m2bc_fits(8, 109, 91, 32, 2)
-
-    def test_convbnact_stage_end_env_toggle(self, rng):
-        # full stem stage end through ConvBNAct: TRANSMF_M2BC on/off must
-        # give the same loss and gradients
-        import os
-
-        from transmf_ad_tpu.nn.blocks import ConvBNAct
-
-        x = jnp.asarray(rng.standard_normal((2, 10, 12, 10, 1)),
-                        jnp.float32)
-        m = ConvBNAct(8, pool="max", use_stem_kernel=True)
-        v = m.init(jax.random.key(0), x, True)
-
-        def loss(params):
-            out, _ = m.apply(
-                {"params": params, "batch_stats": v["batch_stats"]},
-                x, True, mutable=["batch_stats"])
-            return jnp.sum(out ** 2)
-
-        os.environ["TRANSMF_M2BC"] = "1"
-        try:
-            l_bc, g_bc = jax.value_and_grad(loss)(v["params"])
-        finally:
-            os.environ.pop("TRANSMF_M2BC", None)
-        l_m, g_m = jax.value_and_grad(loss)(v["params"])
-        np.testing.assert_allclose(float(l_bc), float(l_m), rtol=1e-6)
-        for (path, a), b in zip(
-            jax.tree_util.tree_leaves_with_path(g_bc),
-            jax.tree_util.tree_leaves(g_m),
-        ):
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b),
-                err_msg=jax.tree_util.keystr(path))

@@ -233,15 +233,13 @@ class ConvBNAct(nn.Module):
                     y, scale, shift, slope, self.use_stem_kernel)
             s_lanes = jnp.tile(scale, Z)
             b_lanes = jnp.tile(shift, Z)
-            # bc_out: the consumer is always an XLA body conv (s2a), so the
-            # pooled tensor leaves in the conv's native layout via the
-            # in-VMEM relayout kernel instead of XLA's ~27 GB/s transposing
-            # copies (both directions; docs/PERFORMANCE.md round 3).
-            # Opt-in (TRANSMF_M2BC=1) until the on-chip full-step A/B lands.
-            # Read at TRACE time: set before the first compile (utils/env.py).
+            # (the merged->conv-native in-VMEM relayout experiment
+            # TRANSMF_M2BC was removed in round 4: Mosaic cannot lower the
+            # cross-sublane-dim scatter on real TPUs — see the
+            # max_pool3d_2x2_affine_act docstring; XLA keeps the
+            # pooled-size boundary copy)
             return max_pool3d_2x2_affine_act(
-                y, s_lanes, b_lanes, slope, self.use_stem_kernel,
-                bc_out=env_flag("TRANSMF_M2BC"))
+                y, s_lanes, b_lanes, slope, self.use_stem_kernel)
         z = bn_affine_reference(y, scale, shift, slope)
         if self.pool == "max":
             return max_pool3d_2x2(z, self.use_stem_kernel)

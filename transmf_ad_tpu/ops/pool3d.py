@@ -446,96 +446,23 @@ def _mpa_bwd_kernel(x_ref, s_ref, b_ref, p_ref, g_ref, re_ref, se_ref,
         dx_ref[0, 1] = jnp.zeros_like(dx_ref[0, 1])
 
 
-# ---------------------------------------------------------------------------
-# merged <-> conv-native relayout kernels for the s1 stage-end boundary
-#
-# The stem Pallas world is merged [B, X, Y, Z*C] row-major; XLA's conv world
-# is {4,0,3,2,1} = physical [X, Y, Z, B, C]. Bridging the POOLED tensor with
-# XLA copies costs ~0.7 ms each way per modality (compiled as a 27 GB/s
-# transposing copy, estimated_cycles ~2.5M in the HLO cost model) — the
-# whole residual copy-class bucket of the round-3 step. These kernels do the
-# same relayout in VMEM (the pooled tensor is ~10 MB): lane-group slicing at
-# C granularity, the move the merged backward kernel already uses for its
-# ze/zo window splits. Blocks span every non-grid dim, so no Mosaic
-# alignment constraints apply. The outer `jnp.transpose` at the call sites
-# folds into layout bitcasts exactly as for the `_bc` pool kernels.
-# ---------------------------------------------------------------------------
-
-
-def _m2bc_kernel(x_ref, o_ref, *, B, Zp, C):
-    # x_ref (B, 1, Yp, Zp*C) merged; o_ref (1, Yp, Zp, B, C) conv-native
-    for bi in range(B):
-        row = x_ref[bi, 0]                            # (Yp, Zp*C)
-        o_ref[0, :, :, bi, :] = jnp.stack(
-            [row[:, j * C:(j + 1) * C] for j in range(Zp)], axis=1)
-
-
-def _bc2m_kernel(x_ref, o_ref, *, B, Zp, C):
-    # x_ref (1, Yp, Zp, B, C) conv-native; o_ref (B, 1, Yp, Zp*C) merged
-    for bi in range(B):
-        slab = x_ref[0, :, :, bi, :]                  # (Yp, Zp, C)
-        o_ref[bi, 0] = jnp.concatenate(
-            [slab[:, j, :] for j in range(Zp)], axis=1)
-
-
-def _m2bc_fits(b, Yp, Zp, C, itemsize, budget=10 * 1024 * 1024):
-    """Both relayout blocks must fit scoped VMEM, and the unrolled
-    lane-slice count must stay sane. The merged (b, 1, Yp, Zp*C) block's
-    sublane dim is Yp (pads to 8) and its lane dim Zp*C (pads to 128);
-    the bc (1, Yp, Zp, b, C) block pads b->8 sublanes, C->128 lanes."""
-    dense = b * (-(-Yp // 8) * 8) * max(Zp * C, 128) * itemsize
-    padded = Yp * Zp * max(b, 8) * max(C, 128) * itemsize
-    return b * Zp <= 1024 and dense + padded <= budget
-
-
-def _pool_merged_to_bc(out4, Zp, C, interpret):
-    """(b, Xp, Yp, Zp*C) merged -> (Xp, Yp, Zp, b, C) row-major (the
-    physical order of the conv-preferred {4,0,3,2,1} layout)."""
-    b, Xp, Yp, ZpC = out4.shape
-    return pl.pallas_call(
-        functools.partial(_m2bc_kernel, B=b, Zp=Zp, C=C),
-        out_shape=out_struct((Xp, Yp, Zp, b, C), out4.dtype, out4),
-        grid=(Xp,),
-        in_specs=[pl.BlockSpec((b, 1, Yp, ZpC), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, Yp, Zp, b, C),
-                               lambda i: (i, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=auto_interpret(interpret),
-    )(out4)
-
-
-def _pool_bc_to_merged(t5, interpret):
-    """(Xp, Yp, Zp, b, C) row-major -> (b, Xp, Yp, Zp*C) merged."""
-    Xp, Yp, Zp, b, C = t5.shape
-    return pl.pallas_call(
-        functools.partial(_bc2m_kernel, B=b, Zp=Zp, C=C),
-        out_shape=out_struct((b, Xp, Yp, Zp * C), t5.dtype, t5),
-        grid=(Xp,),
-        in_specs=[pl.BlockSpec((1, Yp, Zp, b, C),
-                               lambda i: (i, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((b, 1, Yp, Zp * C), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=auto_interpret(interpret),
-    )(t5)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
-                              use_pallas=None, interpret=False,
-                              bc_out=False):
+                              use_pallas=None, interpret=False):
     """maxpool2x2x2(leaky_relu(y * s + b)) with (Z*C,)-lane affine vectors.
 
     y: (B, X, Y, Z, C) raw conv output; s_lanes/b_lanes: f32 (Z*C,) built by
     tiling per-channel BN scale/shift (+ folded conv bias). Returns the
     pooled activated tensor; gradients flow to y AND the lane vectors.
 
-    bc_out=True hands the pooled result to an XLA-conv consumer in its
-    native {4,0,3,2,1} layout via the in-VMEM relayout kernel above (and
-    accepts the incoming gradient the same way in backward), replacing the
-    ~27 GB/s transposing copies XLA otherwise inserts at the merged->conv
-    world boundary. Numerically identical to bc_out=False.
+    NOTE (round-4 negative result): an in-VMEM merged->conv-native
+    relayout of the pooled output (the TRANSMF_M2BC experiment, git
+    history @ 5436090) does NOT lower on real TPUs — the store scatters
+    the value's sublane dim (Y) across an upper dim of the {4,0,3,2,1}
+    target whose sublane dim is B, a cross-sublane-dimension relayout
+    Mosaic rejects ("infer-vector-layout: unsupported shape cast"; only
+    interpret mode ever ran it). The merged->conv boundary copy stays
+    with XLA (~0.7 ms/way/modality at crop, pooled-size).
     """
     b, X, Y, Z, C = y.shape
     ZB = _zb_merged(Y, Z, C, y.dtype.itemsize,
@@ -575,19 +502,16 @@ def max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope=0.01,
         interpret=interpret,
     )(y2, s_lanes.reshape(1, Z * C).astype(jnp.float32),
       b_lanes.reshape(1, Z * C).astype(jnp.float32), se, so)
-    if bc_out and _m2bc_fits(b, Yp, Zp, C, y.dtype.itemsize):
-        t = _pool_merged_to_bc(out, Zp, C, interpret)
-        return jnp.transpose(t, (3, 0, 1, 2, 4))   # free bitcast for conv
     return out.reshape(b, Xp, Yp, Zp, C)
 
 
-def _mpa_fwd(y, s_lanes, b_lanes, slope, use_pallas, interpret, bc_out):
+def _mpa_fwd(y, s_lanes, b_lanes, slope, use_pallas, interpret):
     p = max_pool3d_2x2_affine_act(y, s_lanes, b_lanes, slope, use_pallas,
-                                  interpret, bc_out)
+                                  interpret)
     return p, (y, s_lanes, b_lanes, p)
 
 
-def _mpa_bwd(slope, use_pallas, interpret, bc_out, res, g):
+def _mpa_bwd(slope, use_pallas, interpret, res, g):
     y, s_lanes, b_lanes, p = res
     b, X, Y, Z, C = y.shape
     Xp, Yp, Zp = X // 2, Y // 2, Z // 2
@@ -609,18 +533,8 @@ def _mpa_bwd(slope, use_pallas, interpret, bc_out, res, g):
     nk = -(-Zp // ZB)
     tlc = Z * C if nk == 1 else 2 * ZB * C
     y2 = y.reshape(b, X, Y, Z * C)
-    if bc_out and _m2bc_fits(b, Yp, Zp, C, y.dtype.itemsize):
-        # p and g live in the conv-native {4,0,3,2,1} layout (p was emitted
-        # there; g is produced there by the next stage's dx conv): the
-        # transposes below are bitcasts and the relayout runs in VMEM
-        # instead of XLA's transposing HBM copy.
-        p2 = _pool_bc_to_merged(
-            jnp.transpose(p, (1, 2, 3, 0, 4)), interpret)
-        g2 = _pool_bc_to_merged(
-            jnp.transpose(g.astype(y.dtype), (1, 2, 3, 0, 4)), interpret)
-    else:
-        p2 = p.reshape(b, Xp, Yp, Zp * C)
-        g2 = g.reshape(b, Xp, Yp, Zp * C).astype(y.dtype)
+    p2 = p.reshape(b, Xp, Yp, Zp * C)
+    g2 = g.reshape(b, Xp, Yp, Zp * C).astype(y.dtype)
     se, so, re = _sel_matrices(Y, y.dtype)
     gx = X - 2 * Xp
     # dx must cover ALL lanes: in the chunked regime an odd-z tail gets
