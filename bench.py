@@ -198,6 +198,7 @@ def bench_epochs(state, step):
             t0 = time.perf_counter()
             n = 0
             for b in feed:
+                b.pop("_n_real", None)  # host-only dispatch metadata
                 state2, aux = step(_state[0], b, key)
                 _state[0] = state2
                 n += BATCH

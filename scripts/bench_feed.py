@@ -47,6 +47,7 @@ def run_epoch(loader, state, step, rng):
     t0 = time.perf_counter()
     n = 0
     for batch in DeviceFeed(loader, depth=2, pad_to=BATCH):
+        batch.pop("_n_real", None)  # host-only dispatch metadata
         state, aux = step(state, batch, rng)
         n += BATCH
     # sync: value fetch (never block_until_ready through the tunnel)

@@ -322,6 +322,32 @@ class TestMaskedBN:
         ]
         assert max(diffs) > 1e-7
 
+    def test_feeds_attach_host_n_real(self, rng, tmp_path):
+        """DeviceFeed and DeviceCachedFeed attach '_n_real' as a PLAIN host
+        int (never a device array), so the trainer's ragged-batch BN
+        dispatch (TrainerConfig.mask_bn='ragged') costs no sync."""
+        from transmf_ad_tpu.data.adni import ADNI
+        from transmf_ad_tpu.data.device_cache import DeviceCachedFeed
+        from transmf_ad_tpu.data.pipeline import (DeviceFeed, Loader,
+                                                  VolumeSource)
+        from transmf_ad_tpu.data.synthetic import make_synthetic_adni
+
+        root = str(tmp_path / "adni")
+        make_synthetic_adni(root, n_per_group=4, shape=(12, 14, 12), seed=0)
+        recs = ADNI(root, "ADNI.csv", "ADCN").data_dict
+        for feed_cls in ("stream", "cached"):
+            loader = Loader(VolumeSource(recs), batch_size=3, shuffle=False,
+                            drop_last=False, seed=0)
+            feed = (DeviceFeed(loader, depth=2, pad_to=3)
+                    if feed_cls == "stream"
+                    else DeviceCachedFeed(loader, mesh=None, pad_to=3))
+            batches = list(feed)
+            ns = [b["_n_real"] for b in batches]
+            assert all(isinstance(n, int) for n in ns), feed_cls
+            # 8 samples at batch 3: 3, 3, then a ragged 2
+            assert ns == [3, 3, 2], (feed_cls, ns)
+            assert batches[-1]["label"].shape[0] == 3  # still padded
+
 
 class TestProgressBar:
     def test_non_tty_logs_periodic_lines(self):

@@ -222,4 +222,7 @@ class DeviceCachedFeed:
                 rows[j] = pos[int(s)]
             if b < self.pad_to:  # wrap-around duplicates (pipeline.pad_batch)
                 rows[b:] = rows[np.arange(self.pad_to - b) % b]
-            yield self._gather(jnp.asarray(rows), jnp.asarray(b, jnp.int32))
+            out = dict(self._gather(jnp.asarray(rows),
+                                    jnp.asarray(b, jnp.int32)))
+            out["_n_real"] = b  # host metadata (trainer BN-mask dispatch)
+            yield out

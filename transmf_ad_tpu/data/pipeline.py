@@ -280,7 +280,13 @@ def device_prefetch(batches: Iterable[Dict], sharding=None, depth: int = 2):
         return jnp.asarray(x)
 
     def put(b):
-        return jax.tree_util.tree_map(place, b)
+        # '_n_real' is HOST metadata (the real-sample count the trainer
+        # dispatches on) — carried around the transfer, never traced
+        n = b.pop("_n_real", None) if isinstance(b, dict) else None
+        out = jax.tree_util.tree_map(place, b)
+        if n is not None:
+            out["_n_real"] = n
+        return out
 
     buf: List = []
     it = iter(batches)
@@ -319,5 +325,11 @@ class DeviceFeed:
     def __iter__(self):
         it = iter(self.loader)
         if self.pad_to is not None:
-            it = (pad_batch(b, self.pad_to) for b in it)
+            def padded(it):
+                for b in it:
+                    n = int(b["label"].shape[0])
+                    pb = pad_batch(b, self.pad_to)
+                    pb["_n_real"] = n  # host metadata (see device_prefetch)
+                    yield pb
+            it = padded(it)
         return device_prefetch(it, self.sharding, self.depth)

@@ -65,10 +65,15 @@ class TrainerConfig:
     # 'on' raises if the dataset exceeds the budget.
     device_cache: str = "auto"
     pretrained_path: str = ""  # load params/batch_stats before training
-    # mask BN batch moments to real samples on duplicate-padded ragged
-    # batches (reference short-batch BN semantics; see pad_batch). Off by
-    # default pending the on-chip cost A/B (docs/PERFORMANCE.md).
-    mask_bn: bool = False
+    # BN batch moments on duplicate-padded ragged batches (see pad_batch):
+    # 'ragged' (default) routes ONLY short final batches through a
+    # mask-weighted-BN step variant — reference short-batch BN semantics
+    # at zero steady-state cost (the masked step costs +8.5% per step,
+    # measured; full batches take the fast variant, and the masked one
+    # never even compiles under drop_last). True masks every step;
+    # False never masks (the duplicates then weight a few volumes twice
+    # in the final batch's BN statistics, round-3 behavior).
+    mask_bn: Any = "ragged"
     remat: bool = False  # rematerialize sNet encoders (activation memory)
     # (the reference only hints at this via a commented-out block,
     # reference: kfold_train_adversarial.py:80-83)
@@ -264,6 +269,7 @@ class Trainer:
             enabled=self.cfg.progress)
         device_resident = getattr(loader, "device_resident", False)
         for b in it:
+            b.pop("_n_real", None)  # host metadata (train-only dispatch)
             if device_resident:
                 dev = b  # already padded+masked+sharded by the HBM cache
             else:
@@ -313,11 +319,17 @@ class Trainer:
             self.init_state(sample, steps_per_epoch)
 
         aug_cfg = cfg.aug_cfg if cfg.aug else None
+        step_kw = dict(aug_cfg=aug_cfg, class_weights=class_weights,
+                       mesh=self.mesh)
         train_step = make_train_step(
-            self.modalities, self.adversarial, aug_cfg,
-            class_weights=class_weights, mesh=self.mesh,
-            mask_bn=cfg.mask_bn,
-        )
+            self.modalities, self.adversarial,
+            mask_bn=(cfg.mask_bn is True), **step_kw)
+        # jit is lazy: the masked variant only compiles if a ragged batch
+        # actually appears (never, under drop_last variants)
+        train_step_masked = (
+            make_train_step(self.modalities, self.adversarial,
+                            mask_bn=True, **step_kw)
+            if cfg.mask_bn == "ragged" else train_step)
         self._eval_step = make_eval_step(self.modalities, self.adversarial,
                                          mesh=self.mesh)
 
@@ -411,7 +423,13 @@ class Trainer:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), self.state.params)
                     jax.profiler.stop_trace()
-            self.state, aux = train_step(self.state, batch, base_rng)
+            # host-side real-sample count the feeds attach (never traced);
+            # a short final batch routes to the mask-weighted-BN variant
+            n_real = batch.pop("_n_real", None)
+            ragged = (n_real is not None
+                      and n_real < batch["label"].shape[0])
+            step = train_step_masked if ragged else train_step
+            self.state, aux = step(self.state, batch, base_rng)
             epoch_outputs.append(aux)  # device arrays; not synced here
             return aux
 
