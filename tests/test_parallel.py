@@ -202,6 +202,27 @@ class TestShardMapKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4)
 
+    def test_band_conv_kernels_sharded_matches_single(self, rng,
+                                                      monkeypatch):
+        """Banded body convs (ops/band_conv.py, the full-res routing)
+        composed with shard_map: fwd, flipped-band dx, banded-T dw and
+        the reduce_ct psum on the replicated weights must all give
+        sharded grads/stats equal to the single-device run."""
+        monkeypatch.setenv("TRANSMF_BAND_CONV", "all")
+        (s1, aux1), (s2, aux2) = self._run_pair(
+            rng, "cnn_ad", {}, batch=4, shape=(16, 16, 16), n_data=2,
+            model_parallel=False)
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                        jax.tree_util.tree_leaves(s2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
     @pytest.mark.parametrize("regime", ["blocked", "xla_fwd"])
     def test_over_vmem_regime_sharded_matches_single(self, rng, monkeypatch,
                                                      regime):
