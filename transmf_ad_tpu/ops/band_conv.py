@@ -204,7 +204,7 @@ def _conv_reference(x5, w):
 
 
 def _band_dw_kernel(x0_ref, x1_ref, x2_ref, gy_ref, t_ref, lhs_ref, gys_ref,
-                    *, B, Y, YP, KW):
+                    *, B, Y, YP, KW, TLC, ZCo):
     first = (pl.program_id(1) == 0)
 
     @pl.when(first & (pl.program_id(0) == 0))
@@ -226,8 +226,16 @@ def _band_dw_kernel(x0_ref, x1_ref, x2_ref, gy_ref, t_ref, lhs_ref, gys_ref,
                     x_ref[0, bi, 0, dy: dy + Y, :])
     for bi in range(B):
         gys_ref[bi * YP: bi * YP + Y, :] = gy_ref[bi, 0]
+    gys = gys_ref[...]
+    # clipped-tail regime: gy is UNPADDED (a lane-pad costs a full-tensor
+    # copy); the tail block's out-of-range lanes read unspecified values,
+    # zeroed here so phantom T columns contribute nothing to the taps
+    if ZCo % TLC:
+        valid = ZCo - pl.program_id(0) * TLC
+        lanes = jax.lax.broadcasted_iota(jnp.int32, gys.shape, 1)
+        gys = jnp.where(lanes < valid, gys, 0)
     t_ref[0] += jax.lax.dot_general(
-        lhs_ref[...], gys_ref[...], (((0,), (0,)), ((), ())),
+        lhs_ref[...], gys, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -243,11 +251,10 @@ def _band_dw_pallas(x5, gy, cin, cout, interpret=False):
     zpw = tz + 2
     kw = zpw * cin
     yp = -(-Y // 8) * 8
-    Zo = nzb * tz
     xw = _gather_windows(x5.reshape(b, X, Y, Z * cin), Z, tz, nzb, cin)
+    # gy stays UNPADDED: the tail block reads clipped and the kernel
+    # zero-masks its phantom lanes (a lane-pad here is a full-tensor copy)
     g2 = gy.reshape(b, X, Y, Z * cout)
-    if Zo != Z:  # phantom z_out lanes contribute zero cotangent
-        g2 = jnp.pad(g2, ((0, 0), (0, 0), (0, 0), (0, (Zo - Z) * cout)))
 
     def row_spec(off):
         return pl.BlockSpec((1, b, 1, Y + 2, kw),
@@ -255,7 +262,8 @@ def _band_dw_pallas(x5, gy, cin, cout, interpret=False):
                             memory_space=pltpu.VMEM)
 
     t = pl.pallas_call(
-        functools.partial(_band_dw_kernel, B=b, Y=Y, YP=yp, KW=kw),
+        functools.partial(_band_dw_kernel, B=b, Y=Y, YP=yp, KW=kw,
+                          TLC=tz * cout, ZCo=Z * cout),
         out_shape=out_struct((nzb, 9 * kw, tz * cout), jnp.float32, x5, gy),
         grid=(nzb, X),
         in_specs=[

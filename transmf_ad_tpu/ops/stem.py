@@ -402,7 +402,7 @@ def _pick_tz(Z: int, C: int, target_lanes: int = 1024,
 
 
 def _stem_dw_blocked_kernel(x0_ref, x1_ref, x2_ref, y_ref, gy_ref, ab_ref,
-                            t_ref, lhs_ref, *, Y, TZ):
+                            t_ref, lhs_ref, *, Y, TZ, TLC, ZC):
     first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
 
     @pl.when(first)
@@ -417,6 +417,14 @@ def _stem_dw_blocked_kernel(x0_ref, x1_ref, x2_ref, y_ref, gy_ref, ab_ref,
     yh = (gy_ref[0, 0] +
           (ab_ref[0:1] + y_ref[0, 0].astype(jnp.float32) * ab_ref[1:2]
            ).astype(gy_ref.dtype))
+    # non-divisor Z: y/gy/ab are UNPADDED (a full-tensor lane-pad copy
+    # cost ~5.9 ms/modality at 182^3, round-4 trace) — the tail block's
+    # out-of-range lanes read unspecified values, zeroed here so the
+    # phantom T columns contribute nothing to the diagonal taps
+    valid = ZC - pl.program_id(0) * TLC
+    if ZC % TLC:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, yh.shape, 1)
+        yh = jnp.where(lanes < valid, yh, 0)
     t_ref[...] += jax.lax.dot_general(
         lhs_ref[...], yh, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -438,26 +446,15 @@ def _stem_dw_blocked_pallas(x, y, gy, a_t, b_t, interpret=False):
     # overlapping z_in windows, pre-gathered (static slices; ~1.08x of the
     # input volume — NOT of the 16x-larger conv output)
     xw = jnp.stack([xp[..., zb * tz: zb * tz + zpw] for zb in range(nzb)])
+    # y/gy/ab stay UNPADDED at Z*C lanes: the tail block reads clipped
+    # (unspecified padding) and the kernel zero-masks its phantom lanes —
+    # a lane-pad here costs a full-tensor copy (~5.9 ms/modality at 182^3)
     y2 = y.reshape(b, X, Y, Z * C)
     g2 = gy.reshape(b, X, Y, Z * C).astype(y.dtype)
-    if Zo != Z:
-        padl = (0, (Zo - Z) * C)
-        zero = ((0, 0),) * 3
-        y2 = jnp.pad(y2, (*zero, padl))
-        g2 = jnp.pad(g2, (*zero, padl))
-    # cotangent terms over ALL z_out lanes, zeroed on the padded tail so
-    # phantom lanes contribute yhat = 0 + (0 + 0*b) = 0 exactly (y2/g2
-    # are zero there but `a` alone would leak otherwise); each grid step
-    # reads its own (2, tz*C) chunk
     if a_t.shape == (C,):
-        ab = jnp.stack([jnp.tile(a_t, Zo), jnp.tile(b_t, Zo)])
-        if Zo != Z:
-            lanes = jnp.arange(Zo * C) < Z * C
-            ab = jnp.where(lanes[None, :], ab, 0.0)
-    else:  # per-lane (Z*C,): zero-pad the tail
+        ab = jnp.stack([jnp.tile(a_t, Z), jnp.tile(b_t, Z)])
+    else:  # per-lane (Z*C,)
         ab = jnp.stack([a_t, b_t])
-        if Zo != Z:
-            ab = jnp.pad(ab, ((0, 0), (0, (Zo - Z) * C)))
     ab = ab.astype(jnp.float32)
 
     def row_spec(off):
@@ -471,7 +468,8 @@ def _stem_dw_blocked_pallas(x, y, gy, a_t, b_t, interpret=False):
                             memory_space=pltpu.VMEM)
 
     t = pl.pallas_call(
-        functools.partial(_stem_dw_blocked_kernel, Y=Y, TZ=tz),
+        functools.partial(_stem_dw_blocked_kernel, Y=Y, TZ=tz,
+                          TLC=tz * C, ZC=Z * C),
         out_shape=out_struct((nzb, 9 * zpw, tz * C), jnp.float32, x, gy),
         grid=(nzb, b, X),
         in_specs=[
