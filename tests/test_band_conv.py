@@ -59,6 +59,38 @@ class TestBandConv:
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
                                    atol=2e-4, rtol=1e-3)
 
+    @pytest.mark.parametrize("shape", SHAPES)
+    def test_stats_variant_matches_xla(self, rng, shape):
+        """band_conv3d_stats: y, per-lane Σ/Σ², and the ab-fused backward
+        (stats cotangents flowing through dw and the dx yhat assembly)
+        against the XLA oracle."""
+        from transmf_ad_tpu.ops.band_conv import band_conv3d_stats
+
+        B, X, Y, Z, ci, co = shape
+        x = jnp.asarray(rng.standard_normal((B, X, Y, Z, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)) * 0.1,
+                        jnp.float32)
+        (y, st) = band_conv3d_stats(x, w, True, True)
+        (y_r, st_r) = band_conv3d_stats(x, w, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_r),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(st), np.asarray(st_r),
+                                   atol=1e-3, rtol=1e-4)
+
+        def loss(use_pallas):
+            def f(x, w):
+                y, st = band_conv3d_stats(x, w, use_pallas, True)
+                return (jnp.sum(jnp.sin(y)) + jnp.sum(st[0] * 0.3)
+                        + jnp.sum(st[1] * 0.1))
+            return f
+
+        gx, gw = jax.grad(loss(True), argnums=(0, 1))(x, w)
+        gx_r, gw_r = jax.grad(loss(False), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                                   atol=5e-4, rtol=1e-3)
+
     def test_bf16_forward_close(self, rng):
         B, X, Y, Z, ci, co = 2, 4, 6, 8, 4, 16
         x = jnp.asarray(rng.standard_normal((B, X, Y, Z, ci)), jnp.bfloat16)

@@ -191,9 +191,18 @@ class ConvBNAct(nn.Module):
                     and band_conv_fits(x.shape[1:4], cin, self.features,
                                        x.shape[0], jnp.dtype(dt).itemsize))
             if use_band:
-                from ..ops.band_conv import band_conv3d
+                from ..ops.band_conv import band_conv3d, band_conv3d_stats
 
-                y = band_conv3d(xd, kd)
+                if train and bn_mask is None:
+                    # in-kernel Σ/Σ² (an XLA stats read of the Pallas
+                    # output costs an f32 transposed full-tensor copy
+                    # and f32 backward intermediates — band_conv.py)
+                    y, st = band_conv3d_stats(xd, kd)
+                    Z = y.shape[-2]
+                    stc = st.reshape(2, Z, self.features).sum(axis=1)
+                    stats = (stc[0], stc[1], int(np.prod(y.shape[:-1])))
+                else:
+                    y = band_conv3d(xd, kd)
                 band_world = True
             else:
                 y = jax.lax.conv_general_dilated(

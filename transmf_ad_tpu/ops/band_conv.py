@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._common import auto_interpret, out_struct, reduce_ct
 
-__all__ = ["band_conv3d", "band_conv_fits", "pick_tz_body"]
+__all__ = ["band_conv3d", "band_conv3d_stats", "band_conv_fits",
+           "pick_tz_body"]
 
 
 def _build_band_c(w, tz: int):
@@ -158,7 +159,42 @@ def _band_kernel(x0_ref, x1_ref, x2_ref, r_ref, o_ref, lhs_ref,
         o_ref[bi, 0] = acc[bi * YP: bi * YP + Y].astype(o_ref.dtype)
 
 
-def _band_conv_pallas(x5, w, interpret=False):
+def _band_stats_kernel(x0_ref, x1_ref, x2_ref, r_ref, o_ref, st_ref, lhs_ref,
+                       *, B, Y, YP, KW):
+    """Forward + per-lane Σ/Σ² of the f32 accumulator, the stem pattern
+    (ops/stem.py::_stem_blocked_kernel): an XLA-side stats reduce of a
+    Pallas output materializes an f32 transposed copy of the full tensor
+    (2.5 ms/modality at 91³×64, round-4 trace) and poisons the backward
+    chain with f32 intermediates. Zero-padded lhs rows (sublane pad AND
+    the Yp-Y tail) contribute exact zeros to both sums; the clipped-tail
+    phantom z lanes never land (Pallas clips the st block on write)."""
+    first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+
+    @pl.when(first)
+    def _():
+        lhs_ref[...] = jnp.zeros_like(lhs_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    for dx, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        for dy in range(3):
+            k = dx * 3 + dy
+            for bi in range(B):
+                lhs_ref[bi * YP: bi * YP + Y, k * KW: (k + 1) * KW] = (
+                    x_ref[0, bi, 0, dy: dy + Y, :])
+    acc = jax.lax.dot_general(
+        lhs_ref[...], r_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for bi in range(B):
+        o_ref[bi, 0] = acc[bi * YP: bi * YP + Y].astype(o_ref.dtype)
+    st_ref[0:1] += jnp.sum(acc, axis=0, keepdims=True)
+    st_ref[1:2] += jnp.sum(acc * acc, axis=0, keepdims=True)
+
+
+def _band_conv_pallas(x5, w, interpret=False, stats=False):
     b, X, Y, Z, cin = x5.shape
     cout = w.shape[-1]
     tz = pick_tz_body(Z, cout)
@@ -174,21 +210,32 @@ def _band_conv_pallas(x5, w, interpret=False):
                             lambda zb, i: (zb, 0, i + off, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        functools.partial(_band_kernel, B=b, Y=Y, YP=yp, KW=kw),
-        out_shape=out_struct((b, X, Y, Z * cout), x5.dtype, x5),
+    out_spec = pl.BlockSpec((b, 1, Y, tz * cout),
+                            lambda zb, i: (0, i, 0, zb),
+                            memory_space=pltpu.VMEM)
+    kernel = _band_stats_kernel if stats else _band_kernel
+    out_shape = out_struct((b, X, Y, Z * cout), x5.dtype, x5)
+    if stats:
+        out_shape = [out_shape,
+                     out_struct((2, Z * cout), jnp.float32, x5)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((2, tz * cout), lambda zb, i: (0, zb),
+                                 memory_space=pltpu.VMEM)]
+    res = pl.pallas_call(
+        functools.partial(kernel, B=b, Y=Y, YP=yp, KW=kw),
+        out_shape=out_shape,
         grid=(nzb, X),
         in_specs=[
             row_spec(0), row_spec(1), row_spec(2),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, 1, Y, tz * cout),
-                               lambda zb, i: (0, i, 0, zb),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((b * yp, 9 * kw), x5.dtype)],
         interpret=interpret,
     )(xw, xw, xw, r)
-    return out.reshape(b, X, Y, Z, cout)
+    if stats:
+        return res[0].reshape(b, X, Y, Z, cout), res[1]
+    return res.reshape(b, X, Y, Z, cout)
 
 
 def _conv_reference(x5, w):
@@ -240,7 +287,45 @@ def _band_dw_kernel(x0_ref, x1_ref, x2_ref, gy_ref, t_ref, lhs_ref, gys_ref,
     )
 
 
-def _band_dw_pallas(x5, gy, cin, cout, interpret=False):
+def _band_dw_ab_kernel(x0_ref, x1_ref, x2_ref, y_ref, gy_ref, ab_ref,
+                       t_ref, lhs_ref, gys_ref, *, B, Y, YP, KW, TLC, ZCo):
+    """dw with the stats-cotangent assembly fused: yhat = gy + a + b*y
+    per lane (the stem dw pattern) — the XLA route materializes a
+    full-resolution f32 yhat chain."""
+    first = (pl.program_id(1) == 0)
+
+    @pl.when(first & (pl.program_id(0) == 0))
+    def _():
+        lhs_ref[...] = jnp.zeros_like(lhs_ref)
+        gys_ref[...] = jnp.zeros_like(gys_ref)
+
+    @pl.when(first)
+    def _():
+        t_ref[...] = jnp.zeros_like(t_ref)
+
+    for dx, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
+        for dy in range(3):
+            k = dx * 3 + dy
+            for bi in range(B):
+                lhs_ref[bi * YP: bi * YP + Y, k * KW: (k + 1) * KW] = (
+                    x_ref[0, bi, 0, dy: dy + Y, :])
+    for bi in range(B):
+        gys_ref[bi * YP: bi * YP + Y, :] = (
+            gy_ref[bi, 0] +
+            (ab_ref[0:1] + y_ref[bi, 0].astype(jnp.float32) * ab_ref[1:2]
+             ).astype(gy_ref.dtype))
+    gys = gys_ref[...]
+    if ZCo % TLC:  # clipped tail: zero-mask phantom lanes (see above)
+        valid = ZCo - pl.program_id(0) * TLC
+        lanes = jax.lax.broadcasted_iota(jnp.int32, gys.shape, 1)
+        gys = jnp.where(lanes < valid, gys, 0)
+    t_ref[0] += jax.lax.dot_general(
+        lhs_ref[...], gys, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _band_dw_pallas(x5, gy, cin, cout, interpret=False, y=None, ab=None):
     """dw (3,3,3,Cin,Cout) from input x5 (B,X,Y,Z,Cin) and cotangent gy
     (B,X,Y,Z,Cout): per z-chunk T[zb] += lhs^T @ gy accumulated over x
     rows; taps are the three shifted diagonals of each (zpw, tz) band
@@ -261,23 +346,37 @@ def _band_dw_pallas(x5, gy, cin, cout, interpret=False):
                             lambda zb, i: (zb, 0, i + off, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    t = pl.pallas_call(
-        functools.partial(_band_dw_kernel, B=b, Y=Y, YP=yp, KW=kw,
-                          TLC=tz * cout, ZCo=Z * cout),
+    def chunk_spec():
+        return pl.BlockSpec((b, 1, Y, tz * cout), lambda zb, i: (0, i, 0, zb),
+                            memory_space=pltpu.VMEM)
+
+    kw_static = dict(B=b, Y=Y, YP=yp, KW=kw, TLC=tz * cout, ZCo=Z * cout)
+    common = dict(
         out_shape=out_struct((nzb, 9 * kw, tz * cout), jnp.float32, x5, gy),
         grid=(nzb, X),
-        in_specs=[
-            row_spec(0), row_spec(1), row_spec(2),
-            pl.BlockSpec((b, 1, Y, tz * cout), lambda zb, i: (0, i, 0, zb),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, 9 * kw, tz * cout),
                                lambda zb, i: (zb, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((b * yp, 9 * kw), x5.dtype),
                         pltpu.VMEM((b * yp, tz * cout), gy.dtype)],
         interpret=interpret,
-    )(xw, xw, xw, g2)
+    )
+    if ab is not None:
+        y2 = y.reshape(b, X, Y, Z * cout)
+        t = pl.pallas_call(
+            functools.partial(_band_dw_ab_kernel, **kw_static),
+            in_specs=[row_spec(0), row_spec(1), row_spec(2),
+                      chunk_spec(), chunk_spec(),
+                      pl.BlockSpec((2, tz * cout), lambda zb, i: (0, zb),
+                                   memory_space=pltpu.VMEM)],
+            **common,
+        )(xw, xw, xw, y2, g2, ab.astype(jnp.float32))
+    else:
+        t = pl.pallas_call(
+            functools.partial(_band_dw_kernel, **kw_static),
+            in_specs=[row_spec(0), row_spec(1), row_spec(2), chunk_spec()],
+            **common,
+        )(xw, xw, xw, g2)
 
     t6 = t.reshape(nzb, 9, zpw, cin, tz, cout)
     taps = [jnp.diagonal(t6, offset=-dz, axis1=2, axis2=4).sum((0, -1))
@@ -324,3 +423,65 @@ def _bc_bwd(use_pallas, interpret, res, gy):
 
 
 band_conv3d.defvjp(_bc_fwd, _bc_bwd)
+
+
+def _stats_reference(x5, w):
+    y = _conv_reference(x5, w)
+    b, X, Y, Z, C = y.shape
+    yf = y.astype(jnp.float32).reshape(b, X, Y, Z * C)
+    return y, jnp.stack([jnp.sum(yf, axis=(0, 1, 2)),
+                         jnp.sum(yf * yf, axis=(0, 1, 2))])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def band_conv3d_stats(x5, w, use_pallas=True, interpret=False):
+    """`band_conv3d` + per-lane BN statistics in the kernel epilogue:
+    (B,X,Y,Z,Cin) -> ((B,X,Y,Z,Cout), (2, Z*Cout) f32 [Σ, Σ²] over
+    B,X,Y). Reduce per-channel outside: `st.reshape(2, Z, C).sum(1)`.
+
+    The split formulation (plain conv + XLA stats read) materializes an
+    f32 TRANSPOSED copy of the conv output for the reduce (2.5
+    ms/modality at 91³×64) and drags f32 full-resolution intermediates
+    through the backward; in-kernel Σ/Σ² of the f32 accumulator costs
+    two VMEM row reductions (~free) and keeps every tensor bf16. The
+    backward fuses the stats-cotangent assembly (yhat = gy + a + b·y)
+    into the banded dw prologue; dx assembles yhat once in bf16 and
+    reuses the flipped-band forward kernel."""
+    if not use_pallas:
+        return _stats_reference(x5, w)
+    return _band_conv_pallas(x5, w, interpret=auto_interpret(interpret),
+                             stats=True)
+
+
+def _bcs_fwd(x5, w, use_pallas, interpret):
+    y, st = band_conv3d_stats(x5, w, use_pallas, interpret)
+    return (y, st), (x5, w, y)
+
+
+def _bcs_bwd(use_pallas, interpret, res, cot):
+    x5, w, y = res
+    gy, gst = cot
+    Z, cout = y.shape[-2], y.shape[-1]
+    a_l = gst[0]  # per-lane stats cotangents: d[Σ]=a, d[Σ²]=2y·gst[1]
+    b_l = 2.0 * gst[1]
+    if use_pallas:
+        itp = auto_interpret(interpret)
+        gyd = gy.astype(x5.dtype)
+        dw = _band_dw_pallas(x5, gyd, w.shape[3], w.shape[4], interpret=itp,
+                             y=y, ab=jnp.stack([a_l, b_l])).astype(w.dtype)
+        yhat = (gyd + (a_l.reshape(Z, cout) + y.astype(jnp.float32)
+                       * b_l.reshape(Z, cout)).astype(x5.dtype))
+        dx = _band_conv_pallas(yhat, _flip_w(w).astype(x5.dtype),
+                               interpret=itp)
+    else:
+        yhat = (gy.astype(y.dtype) +
+                (a_l.reshape(Z, cout) + y.astype(jnp.float32)
+                 * b_l.reshape(Z, cout)).astype(y.dtype))
+        (dx,) = jax.linear_transpose(lambda xx: _conv_reference(xx, w), x5)(
+            yhat.astype(x5.dtype))
+        (dw,) = jax.linear_transpose(lambda ww: _conv_reference(x5, ww), w)(
+            yhat.astype(w.dtype))
+    return dx.astype(x5.dtype), reduce_ct(dw, w)
+
+
+band_conv3d_stats.defvjp(_bcs_fwd, _bcs_bwd)
