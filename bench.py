@@ -16,8 +16,10 @@ None if its measurement fails, e.g. during a tunnel outage):
   - trace_ms_per_step: device truth for the same step via slope timing
     (step inside one jitted lax.scan at two lengths; dispatch/fetch
     overheads cancel — scripts/_timing.py).
-  - fullres_b4_vols_per_sec: full-resolution 182x218x182 training at the
-    measured batch-4 optimum (z-blocked banded stem regime).
+  - fullres_vols_per_sec: full-resolution 182x218x182 training at the
+    measured batch-6 optimum (z-blocked banded stem + banded body
+    convs; the round-4 f32-chain fixes freed the HBM that made batch 6
+    fit remat-off).
   - cached_epoch_vols_per_sec: DELIVERED real-data throughput — wall
     epochs over decoded NIfTI files with the HBM-resident dataset cache
     (data/device_cache.py), the feed a user actually experiences.
@@ -33,7 +35,7 @@ import time
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 SHAPE = (91, 109, 91)
 FULLRES_SHAPE = (182, 218, 182)
-FULLRES_BATCH = int(os.environ.get("BENCH_FULLRES_BATCH", 4))
+FULLRES_BATCH = int(os.environ.get("BENCH_FULLRES_BATCH", 6))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
@@ -257,7 +259,8 @@ def main():
         "unit": "volumes/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "trace_ms_per_step": trace_ms,
-        "fullres_b4_vols_per_sec": fullres,
+        "fullres_vols_per_sec": fullres,
+        "fullres_batch": FULLRES_BATCH,
         "cached_epoch_vols_per_sec": cached,
         "stream_epoch_vols_per_sec": streamed,
     }))

@@ -469,10 +469,14 @@ def _bcs_bwd(use_pallas, interpret, res, cot):
         gyd = gy.astype(x5.dtype)
         dw = _band_dw_pallas(x5, gyd, w.shape[3], w.shape[4], interpret=itp,
                              y=y, ab=jnp.stack([a_l, b_l])).astype(w.dtype)
-        yhat = (gyd + (a_l.reshape(Z, cout) + y.astype(jnp.float32)
-                       * b_l.reshape(Z, cout)).astype(x5.dtype))
-        dx = _band_conv_pallas(yhat, _flip_w(w).astype(x5.dtype),
-                               interpret=itp)
+        # yhat stays in y.dtype END-TO-END (the stem bwd rule,
+        # ops/stem.py::_ss_bwd): an f32 formulation makes XLA materialize
+        # a transposed f32 copy of the full tensor (2 GB at full-res b8,
+        # OOM-causing) — the per-lane a/b round to bf16 instead
+        a2 = a_l.reshape(Z, cout).astype(x5.dtype)
+        b2 = b_l.reshape(Z, cout).astype(x5.dtype)
+        dx = _band_conv_pallas(gyd + a2 + y * b2,
+                               _flip_w(w).astype(x5.dtype), interpret=itp)
     else:
         yhat = (gy.astype(y.dtype) +
                 (a_l.reshape(Z, cout) + y.astype(jnp.float32)
