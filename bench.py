@@ -151,7 +151,7 @@ def bench_trace(state, step, batch):
 
 
 def bench_fullres():
-    """Full-resolution training at the measured batch-4 optimum
+    """Full-resolution training at the measured batch optimum
     (docs/PERFORMANCE.md 'Full-resolution training')."""
     import jax
 
