@@ -712,6 +712,131 @@ class TestTorchCheckpointImport:
         with pytest.raises(ValueError, match="mismatch"):
             import_torch_checkpoint(theirs.state_dict(), "single", variables)
 
+    def test_mnet_roundtrip_eval_logits(self, rng, tmp_path):
+        """Mnet checkpoint import at the full reference geometry: a
+        torch-random reference Mnet saved and imported must produce
+        matching eval logits (dead spatial conv2/conv3 weights are
+        skipped; reference: MiSePyNet.py:89-94,139-163)."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+        from transmf_ad_tpu.utils.torch_import import import_torch_checkpoint
+
+        sys.path.insert(0, REFERENCE)
+        from models.MiSePyNet import Mnet as TorchMnet
+
+        torch.manual_seed(9)
+        theirs = TorchMnet()
+        theirs.eval()
+        path = tmp_path / "mnet.pt"
+        torch.save({"net_model": theirs.state_dict()}, path)
+
+        ours = build_model("mnet", use_pallas=False, precision="highest")
+        mri = rng.standard_normal((1, 91, 109, 91)).astype(np.float32)
+        pet = rng.standard_normal((1, 91, 109, 91)).astype(np.float32)
+        inputs = [jnp.asarray(mri[..., None]), jnp.asarray(pet[..., None])]
+        variables = ours.init(jax.random.key(5), *inputs)
+
+        restored = import_torch_checkpoint(str(path), "mnet", variables)
+        assert (jax.tree_util.tree_structure(restored["params"])
+                == jax.tree_util.tree_structure(variables["params"]))
+
+        j_out = ours.apply(restored, *inputs, train=False)
+        with torch.no_grad():
+            t_out = theirs(torch.from_numpy(mri).unsqueeze(1),
+                           torch.from_numpy(pet).unsqueeze(1))
+        np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_advit_vit_pytorch_layout_roundtrip(self, rng):
+        """ADVIT import: synthesize a state_dict in the EXACT vit_pytorch
+        1.7.4 key layout (to_patch_embedding.{1,2,3}, fused to_qkv rows,
+        transformer.layers.i.{0,1}.net slots, final transformer.norm,
+        dead mlp_head) and assert the importer restores the identical
+        flax tree. Forward parity of this parameter convention vs the
+        vit_pytorch architecture is pinned by TestViTEncoderVsVitPytorch;
+        composing the two gives checkpoint-level coverage without the
+        (uninstalled) package."""
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+        from transmf_ad_tpu.utils.torch_import import import_torch_checkpoint
+
+        ours = build_model("advit", use_pallas=False)
+        H = W = 32
+        mri = jnp.asarray(rng.standard_normal((1, H, W, 79, 1)), jnp.float32)
+        variables = ours.init(jax.random.key(6), mri, mri)
+        params, stats = variables["params"], variables["batch_stats"]
+
+        sd = {}
+
+        def put_linear(prefix, p, bias=True):
+            sd[f"{prefix}.weight"] = np.asarray(p["kernel"]).T.copy()
+            if bias:
+                sd[f"{prefix}.bias"] = np.asarray(p["bias"]).copy()
+
+        def put_ln(prefix, p):
+            sd[f"{prefix}.weight"] = np.asarray(p["scale"]).copy()
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"]).copy()
+
+        def put_conv(prefix, p):
+            sd[f"{prefix}.weight"] = np.asarray(
+                p["kernel"]).transpose(4, 3, 0, 1, 2).copy()
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"]).copy()
+
+        def put_bn(prefix, p, s):
+            put_ln(prefix, p)
+            sd[f"{prefix}.running_mean"] = np.asarray(s["mean"]).copy()
+            sd[f"{prefix}.running_var"] = np.asarray(s["var"]).copy()
+            sd[f"{prefix}.num_batches_tracked"] = np.asarray(0)
+
+        for mod in ("mri", "pet"):
+            t2, t2s = params[f"to_2d_{mod}"], stats[f"to_2d_{mod}"]
+            for blk, (ci, bi) in zip(("ConvBNAct_0", "ConvBNAct_1"),
+                                     ((0, 1), (4, 5))):
+                put_conv(f"to_2d_{mod}.{ci}", t2[blk])
+                put_bn(f"to_2d_{mod}.{bi}", t2[blk]["BatchNorm_0"],
+                       t2s[blk]["BatchNorm_0"])
+            v = params[f"vit_{mod}"]
+            pe = f"vit_{mod}.to_patch_embedding"
+            put_ln(f"{pe}.1", v["LayerNorm_0"])
+            put_linear(f"{pe}.2", v["Dense_0"])
+            put_ln(f"{pe}.3", v["LayerNorm_1"])
+            sd[f"vit_{mod}.cls_token"] = np.asarray(v["cls_token"]).copy()
+            sd[f"vit_{mod}.pos_embedding"] = np.asarray(
+                v["pos_embedding"]).copy()
+            tr = v["Transformer_0"]
+            i = 0
+            while f"Attention_{i}" in tr:
+                a = tr[f"Attention_{i}"]
+                layer = f"vit_{mod}.transformer.layers.{i}"
+                # fused to_qkv rows = [q | k | v] out-features
+                sd[f"{layer}.0.to_qkv.weight"] = np.concatenate(
+                    [np.asarray(a["to_q"]["kernel"]),
+                     np.asarray(a["to_kv"]["kernel"])], axis=1).T.copy()
+                put_ln(f"{layer}.0.norm", tr[f"LayerNorm_{2 * i}"])
+                put_linear(f"{layer}.0.to_out.0", a["to_out"])
+                put_ln(f"{layer}.1.net.0", tr[f"LayerNorm_{2 * i + 1}"])
+                f = tr[f"FeedForward_{i}"]
+                put_linear(f"{layer}.1.net.1", f["Dense_0"])
+                put_linear(f"{layer}.1.net.4", f["Dense_1"])
+                i += 1
+            put_ln(f"vit_{mod}.transformer.norm", tr[f"LayerNorm_{2 * i}"])
+            # dead classification head under the CLS-latent reading
+            sd[f"vit_{mod}.mlp_head.weight"] = np.zeros((2, 192), np.float32)
+            sd[f"vit_{mod}.mlp_head.bias"] = np.zeros((2,), np.float32)
+        put_linear("fc", params["fc"])
+
+        restored = import_torch_checkpoint(sd, "advit", variables)
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               restored["params"], params)
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               restored["batch_stats"], stats)
+
 
 class TestTrainingDynamics:
     """N-step training-equivalence vs the imported torch reference: from

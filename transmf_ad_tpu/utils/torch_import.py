@@ -24,6 +24,21 @@ transforms the two frameworks differ by:
   - CrossTransformer(_MOD_AVG) layers.i.{0,1} (per-depth 1-layer pairs)
                                    ->  Transformer_{2i}, Transformer_{2i+1}
 
+ADVIT checkpoints (reference: models/ADVIT.py) additionally map the
+vit_pytorch 1.7.4 ViT layout (the version requirements.txt pins):
+to_patch_embedding.{1,2,3} -> LayerNorm_0/Dense_0/LayerNorm_1,
+cls_token/pos_embedding verbatim, transformer.layers.i.0 with FUSED
+to_qkv split into our to_q/to_kv, transformer.layers.i.1.net.{0,1,4},
+transformer.norm -> the final LayerNorm. `mlp_head` weights are dead
+under the CLS-latent reading this rebuild documents
+(transmf_ad_tpu/models/advit.py:8-19) and are skipped.
+
+Mnet checkpoints (reference: models/MiSePyNet.py) map the three per-view
+slice stacks (conv1.0/1, conv2.0/1+3/4, conv3.0/1+3/4+6/7 ->
+ConvBNAct_0..5) and the DRIVEN spatial conv1 stack (slots 0/1, 4/5, 8/9
+-> _StridedStack_0.ConvBNAct_0..2); spatial conv2/conv3 are dead in the
+reference forward (MiSePyNet.py:89-94) and are skipped.
+
 Accepted checkpoint containers: a bare state_dict, or one wrapped under
 'net_model' / 'model' / 'state_dict' (ignite saves the bare state_dict
 for a single-object Checkpoint; the wrappers cover hand-rolled saves).
@@ -43,7 +58,7 @@ import numpy as np
 __all__ = ["import_torch_checkpoint", "SUPPORTED_MODELS"]
 
 SUPPORTED_MODELS = ("single", "cnn", "cnn_ad", "transformer",
-                    "transformer_res", "ad")
+                    "transformer_res", "ad", "advit", "mnet")
 
 
 def _np(t) -> np.ndarray:
@@ -73,22 +88,28 @@ def _bn(sd, prefix):
     return params, stats
 
 
+def _conv_bn_seq(sd, slots):
+    """Map (conv_prefix, bn_prefix) pairs onto ConvBNAct_0..N-1 trees."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i, (cs, bs) in enumerate(slots):
+        blk = f"ConvBNAct_{i}"
+        p = _conv(sd, cs)
+        bp, bst = _bn(sd, bs)
+        p["BatchNorm_0"] = bp
+        params[blk] = p
+        stats[blk] = {"BatchNorm_0": bst}
+    return params, stats
+
+
 def _snet(sd, prefix):
     """Reference sNet (reference: models/networks.py:18-61) -> SNet tree."""
     slots = ["conv1.0", "conv2.0", "conv2.3", "conv3.0", "conv3.3",
              "conv4.0", "conv4.3"]
     bns = ["conv1.1", "conv2.1", "conv2.4", "conv3.1", "conv3.4",
            "conv4.1", "conv4.4"]
-    params: Dict = {}
-    stats: Dict = {}
-    for i, (cs, bs) in enumerate(zip(slots, bns)):
-        blk = f"ConvBNAct_{i}"
-        p = _conv(sd, f"{prefix}.{cs}")
-        bp, bst = _bn(sd, f"{prefix}.{bs}")
-        p["BatchNorm_0"] = bp
-        params[blk] = p
-        stats[blk] = {"BatchNorm_0": bst}
-    return params, stats
+    return _conv_bn_seq(sd, [(f"{prefix}.{c}", f"{prefix}.{b}")
+                             for c, b in zip(slots, bns)])
 
 
 def _layernorm(sd, prefix):
@@ -162,6 +183,60 @@ def _discriminator(sd, prefix="D"):
     return params, {"BatchNorm_0": bst}
 
 
+def _vit_encoder(sd, prefix):
+    """vit_pytorch 1.7.4 ViT (reference: models/ADVIT.py:31-52) ->
+    ViTEncoder tree. Splits the fused to_qkv rows into our to_q / to_kv;
+    skips the dead `mlp_head` (see module docstring)."""
+    p: Dict = {
+        "LayerNorm_0": _layernorm(sd, f"{prefix}.to_patch_embedding.1"),
+        "Dense_0": _linear(sd, f"{prefix}.to_patch_embedding.2"),
+        "LayerNorm_1": _layernorm(sd, f"{prefix}.to_patch_embedding.3"),
+        "cls_token": _np(sd[f"{prefix}.cls_token"]),
+        "pos_embedding": _np(sd[f"{prefix}.pos_embedding"]),
+    }
+    depth = 0
+    while f"{prefix}.transformer.layers.{depth}.0.norm.weight" in sd:
+        depth += 1
+    tr: Dict = {}
+    for i in range(depth):
+        attn = f"{prefix}.transformer.layers.{i}.0"
+        ff = f"{prefix}.transformer.layers.{i}.1"
+        qkv = _np(sd[f"{attn}.to_qkv.weight"])  # (3*inner, dim) fused rows
+        inner = qkv.shape[0] // 3
+        tr[f"Attention_{i}"] = {
+            "to_q": {"kernel": qkv[:inner].T.copy()},
+            "to_kv": {"kernel": qkv[inner:].T.copy()},
+            "to_out": _linear(sd, f"{attn}.to_out.0"),
+        }
+        tr[f"LayerNorm_{2 * i}"] = _layernorm(sd, f"{attn}.norm")
+        tr[f"LayerNorm_{2 * i + 1}"] = _layernorm(sd, f"{ff}.net.0")
+        tr[f"FeedForward_{i}"] = {
+            "Dense_0": _linear(sd, f"{ff}.net.1"),
+            "Dense_1": _linear(sd, f"{ff}.net.4"),
+        }
+    tr[f"LayerNorm_{2 * depth}"] = _layernorm(sd, f"{prefix}.transformer.norm")
+    p["Transformer_0"] = tr
+    return p
+
+
+def _mnet_slice(sd, prefix):
+    """slice_cnn conv1/conv2/conv3 branches (reference: MiSePyNet.py:5-38)
+    -> SliceCNN's ConvBNAct_0..5 (branch order b1, b2 x2, b3 x3)."""
+    slots = [("conv1", 0, 1), ("conv2", 0, 1), ("conv2", 3, 4),
+             ("conv3", 0, 1), ("conv3", 3, 4), ("conv3", 6, 7)]
+    return _conv_bn_seq(sd, [(f"{prefix}.{c}.{ci}", f"{prefix}.{c}.{bi}")
+                             for c, ci, bi in slots])
+
+
+def _mnet_spatial(sd, prefix):
+    """spatial_cnn's DRIVEN conv1 stack (reference: MiSePyNet.py:44-56,89-94)
+    -> the shared _StridedStack_0; conv2/conv3 are dead and skipped."""
+    params, stats = _conv_bn_seq(
+        sd, [(f"{prefix}.conv1.{ci}", f"{prefix}.conv1.{bi}")
+             for ci, bi in ((0, 1), (4, 5), (8, 9))])
+    return {"_StridedStack_0": params}, {"_StridedStack_0": stats}
+
+
 def _infer_cross_depth(sd, prefix="fuse_transformer"):
     depth = 0
     while f"{prefix}.layers.{depth}.0.norm.weight" in sd:
@@ -173,14 +248,41 @@ def map_state_dict(sd: Dict, model_name: str):
     """Map a reference state_dict to flax (params, batch_stats) trees."""
     if model_name not in SUPPORTED_MODELS:
         raise ValueError(
-            f"torch import supports {SUPPORTED_MODELS}, got '{model_name}' "
-            "(ADVIT/Mnet reference checkpoints use vit_pytorch/MiSePyNet "
-            "layouts this importer does not map)")
+            f"torch import supports {SUPPORTED_MODELS}, got '{model_name}'")
     params: Dict = {}
     stats: Dict = {}
     if model_name == "single":
         params["cnn"], stats["cnn"] = _snet(sd, "cnn")
         params["fc"] = _mlp_head(sd, "fc")
+        return params, stats
+
+    if model_name == "advit":
+        for mod in ("mri", "pet"):
+            params[f"to_2d_{mod}"], stats[f"to_2d_{mod}"] = _conv_bn_seq(
+                sd, [(f"to_2d_{mod}.{ci}", f"to_2d_{mod}.{bi}")
+                     for ci, bi in ((0, 1), (4, 5))])
+            params[f"vit_{mod}"] = _vit_encoder(sd, f"vit_{mod}")
+        params["fc"] = _linear(sd, "fc")
+        return params, stats
+
+    if model_name == "mnet":
+        for mod in ("mri", "pet"):
+            mp: Dict = {}
+            ms: Dict = {}
+            for view in ("axial", "col", "sag"):
+                mp[f"slice_{view}"], ms[f"slice_{view}"] = _mnet_slice(
+                    sd, f"{mod}.slice_cnn_{view}")
+                mp[f"spatial_{view}"], ms[f"spatial_{view}"] = _mnet_spatial(
+                    sd, f"{mod}.spatial_cnn_{view}")
+            params[mod], stats[mod] = mp, ms
+        # fc head: Linear(0)->BN(1)->ReLU->Drop->Linear(4)->BN(5)->ReLU->
+        # Drop->Linear(8) (reference: MiSePyNet.py:144-154)
+        for i, (dense, bn) in enumerate(((0, 1), (4, 5), (8, None))):
+            params[f"Dense_{i}"] = _linear(sd, f"fc.{dense}")
+            if bn is not None:
+                bp, bst = _bn(sd, f"fc.{bn}")
+                params[f"BatchNorm_{i}"] = bp
+                stats[f"BatchNorm_{i}"] = bst
         return params, stats
 
     for mod in ("mri_cnn", "pet_cnn"):
