@@ -52,6 +52,7 @@ class Options:
     pretrained: str = ""  # checkpoint to load before training (e.g. pretrainAD)
     remat: str = "False"  # rematerialize encoders (memory for recompute)
     debug_nans: str = "False"
+    aug_exact: str = "False"  # exact-MONAI host augmentation (data/exact_monai.py)
     folds: str = ""  # comma-separated fold subset, e.g. "0,2" (default: all)
     # — run folds on separate hosts in parallel, or redo a single fold;
     # the KFold split itself stays identical (same seed, all folds laid

@@ -160,6 +160,7 @@ class Loader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        sample_transform=None,
     ):
         self.source = source
         self.indices = np.asarray(
@@ -169,6 +170,10 @@ class Loader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = max(1, prefetch)
+        # host-side per-sample transform (e.g. data.exact_monai's exact
+        # MONAI augmentation); applied after decode/cache, never mutates
+        # cached items, skipped by `peek` (shape probing only)
+        self.sample_transform = sample_transform
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -209,6 +214,8 @@ class Loader:
                     items = (self.source.get_batch(idx)
                              if hasattr(self.source, "get_batch")
                              else [self.source[int(i)] for i in idx])
+                    if self.sample_transform is not None:
+                        items = [self.sample_transform(it) for it in items]
                     q.put(self._stack(items))
                 q.put(DONE)
             except BaseException as e:  # surface decode errors in the consumer

@@ -32,7 +32,7 @@ from typing import Dict, List, Optional
 import numpy as np
 from sklearn.model_selection import KFold, train_test_split
 
-from ..config import Options
+from ..config import Options, str2bool
 from ..data.adni import ADNI
 from ..data.pipeline import Loader, VolumeSource
 from ..utils.logging import Logger
@@ -44,7 +44,12 @@ METRIC_NAMES = ("loss", "acc", "sen", "spe", "f1", "auc")
 def transfer_dtype(opt: Options):
     """Host cache/transfer dtype for volumes: the compute dtype when it is
     bfloat16 (halves H2D bytes and RAM cache vs float32 — the host feed is
-    the epoch bottleneck once device steps are ~60 ms), float32 otherwise."""
+    the epoch bottleneck once device steps are ~60 ms), float32 otherwise.
+    Exact-MONAI augmentation forces float32 (the exact pipeline is defined
+    on the float32 normalized volume; a bf16 cache round-trip would break
+    bit-near-exactness, data/exact_monai.py)."""
+    if str2bool(opt.aug_exact) and opt.aug_bool:
+        return np.float32
     dt = resolve_dtype(opt.dtype or "auto")
     return np.dtype(dt) if dt is not None else np.float32
 
@@ -116,6 +121,7 @@ def _make_trainer_cfg(opt: Options, spec: Dict, fold_dir: str,
         milestones=spec["milestones"],
         epochs=spec["epochs"],
         aug=spec["aug"],
+        aug_exact=str2bool(opt.aug_exact),
         seed=seed,
         save_dir=fold_dir,
         use_pallas=opt.use_pallas_opt,
@@ -296,6 +302,7 @@ def run_holdout(opt: Options) -> List[float]:
         heads=8,  # hold-out head config (reference: train_adversarial.py:30-31)
         dropout=opt.dropout, optimizer=opt.optimizer, lr=opt.lr,
         weight_decay=opt.weight_decay, epochs=opt.epochs, aug=opt.aug_bool,
+        aug_exact=str2bool(opt.aug_exact),
         seed=task_seed(opt), save_dir=save_dir,
         use_pallas=opt.use_pallas_opt, dtype=opt.dtype or "auto",
         resume=opt.resume == "True",

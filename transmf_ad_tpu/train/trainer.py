@@ -74,6 +74,12 @@ class TrainerConfig:
     # False never masks (the duplicates then weight a few volumes twice
     # in the final batch's BN statistics, round-3 behavior).
     mask_bn: Any = "ragged"
+    # Exact-MONAI augmentation (data/exact_monai.py): host-side per-sample
+    # transforms replicating the reference MONAI pipeline per-op (for
+    # cross-framework comparisons) instead of the fused device resample.
+    # Implies float32 feed and disables the HBM dataset cache for the
+    # train feed (host batches change every epoch).
+    aug_exact: bool = False
     remat: bool = False  # rematerialize sNet encoders (activation memory)
     # (the reference only hints at this via a commented-out block,
     # reference: kfold_train_adversarial.py:80-83)
@@ -318,7 +324,13 @@ class Trainer:
         if self.state is None:
             self.init_state(sample, steps_per_epoch)
 
-        aug_cfg = cfg.aug_cfg if cfg.aug else None
+        exact_aug = cfg.aug and cfg.aug_exact
+        aug_cfg = cfg.aug_cfg if (cfg.aug and not exact_aug) else None
+        if exact_aug and getattr(train_loader, "sample_transform", 1) is None:
+            from ..data.exact_monai import make_sample_transform
+
+            train_loader.sample_transform = make_sample_transform(
+                cfg.seed + 7, cfg.aug_cfg)
         step_kw = dict(aug_cfg=aug_cfg, class_weights=class_weights,
                        mesh=self.mesh)
         train_step = make_train_step(
@@ -350,7 +362,8 @@ class Trainer:
         val_feed = val_loader
         already_fed = (isinstance(train_loader, DeviceFeed)
                        or getattr(train_loader, "device_resident", False))
-        if not already_fed and cfg.device_cache in ("auto", "on") \
+        if not already_fed and not exact_aug \
+                and cfg.device_cache in ("auto", "on") \
                 and hasattr(train_loader, "source"):
             budget = hbm_budget()
             tb = cache_bytes(train_loader, self.mesh)
