@@ -6,7 +6,12 @@ dumps final params + metrics for cross-process / vs-single-process
 comparison.
 
 Usage: python tests/_multihost_worker.py <pid> <nproc> <port> <outdir>
-(spawned with XLA_FLAGS=--xla_force_host_platform_device_count=4)
+                                         [<adni_root>]
+(spawned with XLA_FLAGS=--xla_force_host_platform_device_count=4).
+With <adni_root>: cache mode — real VolumeSource loaders over a synthetic
+ADNI tree with device_cache='on', counting which NIfTI files THIS process
+decodes, so the test can assert the HBM cache fill is split by shard
+ownership across processes (no duplicated host decode).
 """
 
 import json
@@ -17,6 +22,7 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outdir = sys.argv[4]
+    adni_root = sys.argv[5] if len(sys.argv) > 5 else None
 
     import jax
 
@@ -28,6 +34,9 @@ def main():
         os.path.abspath(__file__))))
     from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
     from tests._multihost_data import make_loaders, trainer_config_kwargs
+
+    if adni_root is not None:
+        return cache_mode(pid, nproc, port, outdir, adni_root)
 
     cfg = TrainerConfig(
         coordinator_address=f"localhost:{port}",
@@ -52,6 +61,66 @@ def main():
     with open(os.path.join(outdir, f"res_{pid}.json"), "w") as f:
         json.dump({"res": [float(x) for x in res],
                    "primary": bool(trainer.primary)}, f)
+    print(f"WORKER_{pid}_OK", flush=True)
+
+
+def cache_mode(pid, nproc, port, outdir, adni_root):
+    """device_cache='on' over a real VolumeSource: the HBM fill must
+    decode only this process's shard-owned rows (data/device_cache.py
+    make_array_from_callback path)."""
+    import jax
+    import numpy as np
+
+    from tests._multihost_data import trainer_config_kwargs
+    from transmf_ad_tpu.data.adni import ADNI
+    from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
+    from transmf_ad_tpu.parallel import fetch_global
+    from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+    def _relname(path):
+        return os.path.join(os.path.basename(os.path.dirname(path)),
+                            os.path.basename(path))
+
+    recs = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+    train_src = VolumeSource(recs[:24])
+    decoded = []
+    orig = train_src._decode_vol
+
+    def counting(path):
+        # keep the modality dir: MRI/x.nii.gz and PET/x.nii.gz share basenames
+        decoded.append(_relname(path))
+        return orig(path)
+
+    train_src._decode_vol = counting
+    val_src = VolumeSource(recs[24:28])
+
+    train = Loader(train_src, batch_size=8, shuffle=True, seed=5,
+                   drop_last=True)
+    val = Loader(val_src, batch_size=4)
+
+    cfg = TrainerConfig(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
+        process_id=pid,
+        save_dir=os.path.join(outdir, "ckpt_cache"),
+        device_cache="on",
+        **trainer_config_kwargs(),
+    )
+    trainer = Trainer(cfg)
+    res = trainer.fit(train, val, val)
+
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    flat = np.concatenate([fetch_global(p).ravel() for p in leaves])
+    np.save(os.path.join(outdir, f"cache_params_{pid}.npy"), flat)
+    peek_files = [_relname(recs[i][k]) for i in range(8)
+                  for k in ("MRI", "PET")]
+    train_files = [_relname(recs[i][k]) for i in range(24)
+                   for k in ("MRI", "PET")]
+    with open(os.path.join(outdir, f"cache_res_{pid}.json"), "w") as f:
+        json.dump({"res": [float(x) for x in res],
+                   "decoded": decoded,
+                   "peek_files": peek_files,
+                   "train_files": train_files}, f)
     print(f"WORKER_{pid}_OK", flush=True)
 
 

@@ -65,6 +65,44 @@ def multihost_run(tmp_path_factory):
     return outdir, logs
 
 
+@pytest.fixture(scope="module")
+def multihost_cache_run(tmp_path_factory):
+    """Two processes training over a real VolumeSource with the
+    HBM-resident dataset cache forced on (device_cache='on')."""
+    from transmf_ad_tpu.data.synthetic import make_synthetic_adni
+
+    outdir = str(tmp_path_factory.mktemp("multihost_cache"))
+    adni_root = os.path.join(outdir, "adni")
+    make_synthetic_adni(adni_root, n_per_group=14, shape=(16, 16, 16),
+                        seed=4)
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    worker = os.path.join(REPO, "tests", "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), outdir,
+             adni_root],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0 and f"WORKER_{pid}_OK" in out, (
+            f"cache worker {pid} failed:\n{out[-4000:]}")
+    return outdir, logs
+
+
 class TestMultiHost:
     def test_processes_agree(self, multihost_run):
         outdir, _ = multihost_run
@@ -99,6 +137,34 @@ class TestMultiHost:
         r0 = json.load(open(os.path.join(outdir, "res_0.json")))
         np.testing.assert_allclose(r0["res"], [float(x) for x in res],
                                    rtol=1e-4, atol=1e-5)
+
+    def test_device_cache_splits_decode_across_processes(
+            self, multihost_cache_run):
+        """The HBM cache fill decodes each volume on exactly ONE process
+        (shard ownership), not on every process — the multi-host claim of
+        data/device_cache.py:14-18. Rows the trainer's init `peek`
+        touches are decoded everywhere (shape probing, 8 samples); the
+        remaining fill rows must partition cleanly. Both processes must
+        also end bit-identical."""
+        outdir, _ = multihost_cache_run
+        r0 = json.load(open(os.path.join(outdir, "cache_res_0.json")))
+        r1 = json.load(open(os.path.join(outdir, "cache_res_1.json")))
+        peek = set(r0["peek_files"])
+        fill_rows = set(r0["train_files"]) - peek
+        d0 = [f for f in r0["decoded"] if f in fill_rows]
+        d1 = [f for f in r1["decoded"] if f in fill_rows]
+        # no file decoded twice on one process (RAM cache) ...
+        assert len(d0) == len(set(d0)) and len(d1) == len(set(d1))
+        # ... none decoded on BOTH processes, and together they cover all
+        assert set(d0).isdisjoint(set(d1)), set(d0) & set(d1)
+        assert set(d0) | set(d1) == fill_rows
+        # both processes did real work (8-device data axis, 4 local each)
+        assert d0 and d1
+
+        p0 = np.load(os.path.join(outdir, "cache_params_0.npy"))
+        p1 = np.load(os.path.join(outdir, "cache_params_1.npy"))
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_allclose(r0["res"], r1["res"], rtol=1e-6)
 
     def test_primary_owns_side_effects(self, multihost_run):
         outdir, _ = multihost_run
