@@ -214,6 +214,32 @@ def bench_epochs(state, step):
     return cached, streamed
 
 
+def _start_watchdog(budget: float):
+    """The wall budget only guards phases that HAVEN'T started; a hung TPU
+    tunnel (FAILED_PRECONDITION outages sometimes block instead of
+    erroring) would stall the primary phase forever and the driver would
+    get no JSON line at all. This timer guarantees one: past
+    budget + grace it prints a null-value line naming the failure and
+    hard-exits (os._exit: the main thread is stuck in a device wait)."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "model_ad_train_volumes_per_sec_per_chip",
+            "value": None,
+            "unit": "volumes/s",
+            "vs_baseline": None,
+            "error": f"bench exceeded {budget:.0f}s wall budget "
+                     "(TPU tunnel outage?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(budget + 120, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
 
@@ -222,6 +248,7 @@ def main():
 
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", 900))
+    watchdog = _start_watchdog(budget)
 
     def time_left(need):
         return (time.perf_counter() - t_start) < (budget - need)
@@ -253,6 +280,7 @@ def main():
 
     base = _baseline_volumes_per_sec()
     vs = vols_per_sec / base if base == base else None  # NaN-safe
+    watchdog.cancel()
     print(json.dumps({
         "metric": "model_ad_train_volumes_per_sec_per_chip",
         "value": round(vols_per_sec, 3),
