@@ -24,7 +24,6 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
 from transmf_ad_tpu.config import Option
 from transmf_ad_tpu.data.adni import ADNI
 from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
-from transmf_ad_tpu.train import checkpoint as ckpt
 from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
 from transmf_ad_tpu.utils.logging import Logger
 
@@ -41,23 +40,22 @@ def main():
     source = VolumeSource(records)
     loader = Loader(source, batch_size=opt.batch_size)
 
+    paths = sorted(glob.glob(ns.checkpoint))
+    if not paths:
+        raise SystemExit(f"no checkpoint matches {ns.checkpoint}")
+
     model = {"Transformer": "ad", "CNN": "cnn_ad"}.get(opt.model, opt.model)
     cfg = TrainerConfig(
         model=model, dim=opt.dim, depth=opt.trans_enc_depth, heads=opt.heads,
         dropout=opt.dropout, save_dir=f"{opt.checkpoints_dir}/{opt.name}",
         use_pallas=opt.use_pallas_opt, dtype=opt.dtype or "auto",
+        # init_state restores this — a framework .msgpack OR a reference
+        # torch .pt (mapped via utils/torch_import.py), so reference-
+        # trained models evaluate here directly
+        pretrained_path=paths[-1],
     )
     trainer = Trainer(cfg, Logger(cfg.save_dir))
     trainer.init_state(loader.peek(), steps_per_epoch=1)
-
-    paths = sorted(glob.glob(ns.checkpoint))
-    if not paths:
-        raise SystemExit(f"no checkpoint matches {ns.checkpoint}")
-    from transmf_ad_tpu.train.trainer import _restore_state, _saveable
-
-    restored = ckpt.load(paths[-1], _saveable(trainer.state))
-    trainer.state = _restore_state(trainer.state, restored)
-    trainer._eval_step = None  # force rebuild
     from transmf_ad_tpu.train.steps import make_eval_step
 
     trainer._eval_step = make_eval_step(trainer.modalities, trainer.adversarial)

@@ -264,6 +264,41 @@ class TestEvaluateCLI:
         assert out.returncode == 0, out.stderr[-2000:]
         assert "accuracy:" in out.stdout
 
+    def test_evaluate_from_torch_checkpoint(self, adni_root, tmp_path):
+        """A reference-trained torch `.pt` evaluates directly:
+        evaluate.py --checkpoint x.pt routes through
+        utils/torch_import.py (reference users' checkpoints carry over
+        without a conversion step)."""
+        import subprocess
+        import sys
+
+        torch = pytest.importorskip("torch")
+        ref = os.environ.get("REFERENCE_PATH", "/root/reference")
+        if not os.path.isdir(ref):
+            pytest.skip("reference checkout not available")
+        sys.path.insert(0, ref)
+        from models.mymodel import model_CNN_ad
+
+        torch.manual_seed(3)
+        path = str(tmp_path / "ref_cnn_ad.pt")
+        torch.save({"net_model": model_CNN_ad(dim=16).state_dict()}, path)
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "evaluate.py",
+             "--checkpoint", path,
+             "--name", "torch_eval", "--task", "ADCN", "--model", "CNN",
+             "--dataroot", adni_root,
+             "--checkpoints_dir", str(tmp_path / "ckpt"),
+             "--dim", "16", "--heads", "2", "--trans_enc_depth", "1",
+             "--use_pallas", "False", "--dtype", "float32",
+             "--batch_size", "4"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
+        assert "accuracy:" in out.stdout
+
 
 class TestKFoldVariants:
     """ADVIT and Mnet driver variants end-to-end (tiny synthetic volumes,
