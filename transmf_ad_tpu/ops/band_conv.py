@@ -37,9 +37,12 @@ round-3 body-stats kernel), and leaving stats to XLA keeps the autodiff
 chain standard (the gy arriving here already includes the stats
 cotangent).
 
-Default OFF (TRANSMF_BAND_CONV=1 opts in) until the full-step A/B on
-real hardware lands — docs/PERFORMANCE.md records the verdict either
-way, per the round-3 discipline.
+Default ON for stages with >= 400k output voxels (full-resolution-class
+tensors only — XLA's im2col wins at 45-cubed and below, where it runs
+near the MXU roofline; measured in docs/PERFORMANCE.md "Full-resolution
+training, round-4 update"). TRANSMF_BAND_CONV=0 disables, =all ignores
+the threshold (for A/Bs), TRANSMF_BAND_CONV_MIN_VOX overrides it
+(routing in nn/blocks.py).
 """
 
 from __future__ import annotations
