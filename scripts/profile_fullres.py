@@ -15,6 +15,7 @@ from transmf_ad_tpu.train.optim import build_optimizer
 from transmf_ad_tpu.train.steps import create_state, make_train_step
 
 B, SHAPE = int(os.environ.get("FULLRES_B", 2)), (182, 218, 182)
+REMAT = os.environ.get("FULLRES_REMAT", "1") == "1"
 OUT = "/tmp/fullres_profile"
 rng = np.random.default_rng(0)
 batch = {
@@ -23,7 +24,7 @@ batch = {
     "label": jnp.asarray(rng.integers(0, 2, B), jnp.int32),
 }
 model = build_model("ad", dim=128, depth=3, heads=4, dtype=jnp.bfloat16,
-                    remat=True)
+                    remat=REMAT)
 tx, _ = build_optimizer("Adam", 1e-4, steps_per_epoch=1)
 state = create_state(model, tx,
                      [batch["MRI"][..., None], batch["PET"][..., None]],
