@@ -13,9 +13,16 @@ reference repo publishes no numbers of its own — see BASELINE.md).
 
 Extra fields report the axes the dispatch metric is blind to (each is
 None if its measurement fails, e.g. during a tunnel outage):
-  - trace_ms_per_step: device truth for the same step via slope timing
-    (step inside one jitted lax.scan at two lengths; dispatch/fetch
-    overheads cancel — scripts/_timing.py).
+  - trace_ms_per_step: device truth for the same step via the profiler's
+    XLA Modules track (scripts/profile_step.py method).
+  - achieved_tf_per_sec: XLA cost_analysis dense FLOPs of the compiled
+    step divided by the device step time — the self-auditing "is this
+    actually fast" number (vs_baseline alone compares against a 1-core
+    CPU and is easy to inflate).
+  - roofline_tf_per_sec / pct_of_roofline: the MEASURED bf16 matmul
+    peak of THIS chip (8192^3 GEMM, slope-timed) and the step's
+    percentage of it. The step cannot hit 100%: ~15% of its time is
+    VPU/bandwidth-bound pooling/BN/layout work (docs/PERFORMANCE.md).
   - fullres_vols_per_sec: full-resolution 182x218x182 training at the
     measured batch-6 optimum (z-blocked banded stem + banded body
     convs; the round-4 f32-chain fixes freed the HBM that made batch 6
@@ -24,7 +31,9 @@ None if its measurement fails, e.g. during a tunnel outage):
     epochs over decoded NIfTI files with the HBM-resident dataset cache
     (data/device_cache.py), the feed a user actually experiences.
   - stream_epoch_vols_per_sec: same epochs through the round-3 streaming
-    host feed (DeviceFeed), for the A/B delta.
+    host feed (DeviceFeed), for the A/B delta. Through the axon tunnel
+    this is H2D-bandwidth-bound at ~40 MB/s (scripts/bench_feed.py
+    measures the raw link; docs/PERFORMANCE.md "Streamed-feed ceiling").
 Skip knobs: BENCH_FULLRES=0, BENCH_CACHED=0.
 """
 
@@ -214,30 +223,83 @@ def bench_epochs(state, step):
     return cached, streamed
 
 
-def _start_watchdog(budget: float):
+def _start_watchdog(budget: float, partial: dict):
     """The wall budget only guards phases that HAVEN'T started; a hung TPU
     tunnel (FAILED_PRECONDITION outages sometimes block instead of
     erroring) would stall the primary phase forever and the driver would
     get no JSON line at all. This timer guarantees one: past
-    budget + grace it prints a null-value line naming the failure and
+    budget + grace it prints a line carrying every field measured SO FAR
+    (phases stash results into `partial` as they complete, so a hang in
+    an optional late phase no longer discards the primary metric) and
     hard-exits (os._exit: the main thread is stuck in a device wait)."""
     import threading
 
     def fire():
-        print(json.dumps({
+        line = {
             "metric": "model_ad_train_volumes_per_sec_per_chip",
             "value": None,
             "unit": "volumes/s",
             "vs_baseline": None,
-            "error": f"bench exceeded {budget:.0f}s wall budget "
-                     "(TPU tunnel outage?)",
-        }), flush=True)
+        }
+        line.update(partial)
+        line["error"] = (f"bench exceeded {budget:.0f}s wall budget "
+                         "(TPU tunnel outage?); reporting phases that "
+                         "completed")
+        print(json.dumps(line), flush=True)
         os._exit(2)
 
     t = threading.Timer(budget + 120, fire)
     t.daemon = True
     t.start()
     return t
+
+
+def _step_flops(state, step, batch):
+    """Dense-FLOP estimate of ONE compiled train step via XLA cost
+    analysis (the executable is already in the jit cache, so lowering +
+    compiling here is a cache hit, not a recompile)."""
+    import jax
+
+    key = jax.random.key(1)
+    compiled = step.lower(state, batch, key).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost["flops"])
+
+
+def bench_roofline():
+    """Measured bf16 MXU peak of THIS chip: an 8192^3 GEMM inside one
+    jitted lax.scan at two lengths (slope cancels dispatch/fetch
+    overheads — scripts/_timing.py method)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(x, steps):
+        def body(c, _):
+            c = jnp.tanh(c @ a)  # tanh blocks A*A^k strength reduction
+            return c, ()
+        c, _ = jax.lax.scan(body, x, (), length=steps)
+        return jnp.float32(c.sum())
+
+    x0 = jnp.ones((n, n), jnp.bfloat16)
+
+    def timed(steps):
+        t0 = time.perf_counter()
+        float(run(x0, steps))
+        return time.perf_counter() - t0
+
+    timed(2)  # compile both lengths' shared executable? lengths differ ->
+    timed(8)  # compile; then measure
+    t2, t8 = timed(2), timed(8)
+    dt = (t8 - t2) / 6
+    return 2 * n**3 / dt / 1e12
 
 
 def main():
@@ -248,26 +310,50 @@ def main():
 
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", 900))
-    watchdog = _start_watchdog(budget)
+    partial: dict = {}
+    watchdog = _start_watchdog(budget, partial)
 
     def time_left(need):
         return (time.perf_counter() - t_start) < (budget - need)
 
     state, step, batch = _build(BATCH, SHAPE)
     vols_per_sec, state = bench_legacy(state, step, batch)
+    base = _baseline_volumes_per_sec()
+    vs = vols_per_sec / base if base == base else None  # NaN-safe
+    partial["value"] = round(vols_per_sec, 3)
+    partial["vs_baseline"] = round(vs, 2) if vs is not None else None
 
     # Extra phases run inside the remaining wall budget so the JSON line
-    # ALWAYS prints (a phase that cannot fit is skipped -> null field).
+    # ALWAYS prints (a phase that cannot fit is skipped -> null field);
+    # each stashes its result into `partial` so a later hang still
+    # reports everything measured so far (see _start_watchdog).
     trace_ms = fullres = cached = streamed = None
+    achieved_tf = roofline_tf = pct = None
     try:
         ms, state = bench_trace(state, step, batch)
         trace_ms = round(ms, 2) if ms is not None else None
+        partial["trace_ms_per_step"] = trace_ms
+    except Exception:
+        pass
+    try:
+        # self-audit: dense FLOPs / device-step time vs the chip's own
+        # measured matmul peak — "fast" falsifiable from this line alone
+        flops = _step_flops(state, step, batch)
+        step_s = (trace_ms / 1e3 if trace_ms else BATCH / vols_per_sec)
+        achieved_tf = round(flops / step_s / 1e12, 1)
+        roofline_tf = round(bench_roofline(), 1)
+        pct = round(100 * achieved_tf / roofline_tf, 1)
+        partial.update(achieved_tf_per_sec=achieved_tf,
+                       roofline_tf_per_sec=roofline_tf,
+                       pct_of_roofline=pct)
     except Exception:
         pass
     if os.environ.get("BENCH_CACHED", "1") != "0" and time_left(180):
         try:
             cached, streamed = bench_epochs(state, step)
             cached, streamed = round(cached, 1), round(streamed, 1)
+            partial.update(cached_epoch_vols_per_sec=cached,
+                           stream_epoch_vols_per_sec=streamed)
         except Exception:
             pass
     # full-res last: its first compile is the most expensive (~2-5 min
@@ -275,11 +361,10 @@ def main():
     if os.environ.get("BENCH_FULLRES", "1") != "0" and time_left(420):
         try:
             fullres = round(bench_fullres(), 2)
+            partial["fullres_vols_per_sec"] = fullres
         except Exception:
             pass
 
-    base = _baseline_volumes_per_sec()
-    vs = vols_per_sec / base if base == base else None  # NaN-safe
     watchdog.cancel()
     print(json.dumps({
         "metric": "model_ad_train_volumes_per_sec_per_chip",
@@ -287,6 +372,9 @@ def main():
         "unit": "volumes/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "trace_ms_per_step": trace_ms,
+        "achieved_tf_per_sec": achieved_tf,
+        "roofline_tf_per_sec": roofline_tf,
+        "pct_of_roofline": pct,
         "fullres_vols_per_sec": fullres,
         "fullres_batch": FULLRES_BATCH,
         "cached_epoch_vols_per_sec": cached,

@@ -49,18 +49,12 @@ def main():
         model=model, dim=opt.dim, depth=opt.trans_enc_depth, heads=opt.heads,
         dropout=opt.dropout, save_dir=f"{opt.checkpoints_dir}/{opt.name}",
         use_pallas=opt.use_pallas_opt, dtype=opt.dtype or "auto",
-        # init_state restores this — a framework .msgpack OR a reference
-        # torch .pt (mapped via utils/torch_import.py), so reference-
-        # trained models evaluate here directly
-        pretrained_path=paths[-1],
     )
     trainer = Trainer(cfg, Logger(cfg.save_dir))
-    trainer.init_state(loader.peek(), steps_per_epoch=1)
-    from transmf_ad_tpu.train.steps import make_eval_step
-
-    trainer._eval_step = make_eval_step(trainer.modalities, trainer.adversarial)
-
-    m = trainer.evaluate(loader)
+    # public scoring entry: restores a framework .msgpack OR a reference
+    # torch .pt (mapped via utils/torch_import.py), so reference-trained
+    # models evaluate here directly
+    m = trainer.evaluate_from_checkpoint(loader, paths[-1])
     print(
         f"loss: {m['loss']:.4f} accuracy: {m['accuracy']:.4f} "
         f"sensitivity: {m['sen']:.4f} specificity: {m['spe']:.4f} "

@@ -121,6 +121,7 @@ class TestBandConvRouting:
     """TRANSMF_BAND_CONV routes SNet body convs through the banded kernel
     with identical results (merged-layout pool path included)."""
 
+    @pytest.mark.slow
     def test_snet_band_on_matches_off(self, rng, monkeypatch):
         from transmf_ad_tpu.nn.blocks import SNet
 

@@ -357,6 +357,96 @@ class TestTransferDtype:
         assert transfer_dtype(opt) == np.float32
         opt.dtype = "bfloat16"
         assert transfer_dtype(opt) == np.dtype(jnp.bfloat16)
+        opt.feed_dtype = "uint8"
+        assert transfer_dtype(opt) == np.uint8
+        # exact-MONAI host augmentation overrides back to float32
+        opt.aug_exact = "True"
+        assert transfer_dtype(opt) == np.float32
+
+
+class TestUint8Feed:
+    """uint8 quantized host cache/transfer (1/4 the float32 bytes;
+    device-side dequant — pipeline.VolumeSource / steps.dequantize_input)."""
+
+    def test_quantization_roundtrip(self, adni_root):
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        q = VolumeSource(ds.data_dict, dtype=np.uint8)
+        f = VolumeSource(ds.data_dict, dtype=np.float32)
+        bq = next(iter(Loader(q, batch_size=3)))
+        bf = next(iter(Loader(f, batch_size=3)))
+        assert bq["MRI"].dtype == np.uint8
+        assert bq["MRI"].nbytes * 4 == bf["MRI"].nbytes
+        # q = round(255*x): dequant error bounded by half a step
+        err = np.abs(bq["MRI"].astype(np.float32) / 255.0 - bf["MRI"])
+        assert err.max() <= 0.5 / 255 + 1e-6
+
+    def test_requires_normalize(self, adni_root):
+        import pytest
+
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        with pytest.raises(ValueError, match="normalize"):
+            VolumeSource(ds.data_dict, dtype=np.uint8, normalize=False)
+
+    def test_dequantize_input(self):
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.train.steps import dequantize_input
+
+        q = jnp.asarray(np.arange(256, dtype=np.uint8))
+        x = dequantize_input(q)
+        assert x.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.arange(256, dtype=np.float32) / 255.0,
+                                   rtol=0, atol=1e-7)
+        f = jnp.ones((3,), jnp.bfloat16)
+        assert dequantize_input(f) is f  # non-integer passthrough
+
+    def test_step_matches_dequantized_f32_feed(self, adni_root):
+        """A train step fed uint8 volumes computes EXACTLY the step fed
+        the dequantized float32 volumes (dequant is the only difference)."""
+        import jax
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.models import build_model
+        from transmf_ad_tpu.train.optim import build_optimizer
+        from transmf_ad_tpu.train.steps import create_state, make_train_step
+
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict, dtype=np.uint8)
+        batch = next(iter(Loader(src, batch_size=2)))
+        model = build_model("single", dim=16, use_pallas=False,
+                            dtype="float32")
+        tx, _ = build_optimizer("Adam", 1e-4, 0.0, 1)
+        scale = np.float32(1.0 / 255.0)  # dequantize_input's exact expression
+        inputs = [jnp.asarray(batch["MRI"][..., None].astype(np.float32)
+                              * scale)]
+        state = create_state(model, tx, inputs, jax.random.key(0))
+        step = make_train_step(("MRI",), adversarial=False, aug_cfg=None,
+                               donate=False)
+        dev_q = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev_f = dict(dev_q)
+        dev_f["MRI"] = jnp.asarray(
+            batch["MRI"].astype(np.float32) * scale)
+        _, aux_q = step(state, dev_q, jax.random.key(1))
+        _, aux_f = step(state, dev_f, jax.random.key(1))
+        np.testing.assert_array_equal(np.asarray(aux_q["logits"]),
+                                      np.asarray(aux_f["logits"]))
+
+    def test_trainer_uint8_end_to_end(self, adni_root, tmp_path):
+        """Trainer.fit with a uint8 source (device cache on) trains and
+        evaluates to finite metrics."""
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        ds = ADNI(adni_root, "ADNI.csv", "ADCN")
+        src = VolumeSource(ds.data_dict, dtype=np.uint8)
+        train = Loader(src, list(range(6)), batch_size=3, shuffle=True,
+                       seed=1)
+        val = Loader(src, list(range(6, len(src))), batch_size=3)
+        cfg = TrainerConfig(model="single", dim=8, epochs=2, aug=True,
+                            save_dir=str(tmp_path), use_pallas=False,
+                            dtype="float32", progress=False)
+        res = Trainer(cfg).fit(train, val, val)
+        assert res is not None and np.isfinite(res[0])
 
 
 class TestNativeLoader:

@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from transmf_ad_tpu.data.adni import ADNI
-from transmf_ad_tpu.data.device_cache import (DeviceCachedFeed, cache_bytes,
+from transmf_ad_tpu.data.device_cache import (DeviceCachedFeed,
+                                              HybridCachedFeed, cache_bytes,
                                               fits_budget)
 from transmf_ad_tpu.data.pipeline import Loader, VolumeSource, pad_batch
 
@@ -144,3 +145,92 @@ class TestDeviceCachedFeed:
                                device_cache="on", progress=False)
         with pytest.raises(ValueError, match="budget"):
             Trainer(cfg_on).fit(train, val, val)
+
+    def test_on_raises_for_uncacheable_loader(self, adni_root, tmp_path):
+        """device_cache='on' must raise for ANY reason caching cannot
+        happen — here a pre-wrapped DeviceFeed with no .source."""
+        from transmf_ad_tpu.data.pipeline import DeviceFeed
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        recs = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(recs)
+        train = DeviceFeed(Loader(src, list(range(6)), batch_size=3,
+                                  shuffle=True, seed=1), pad_to=3)
+        val = Loader(src, list(range(6, len(src))), batch_size=3)
+        cfg = TrainerConfig(model="single", dim=8, epochs=1, aug=False,
+                            save_dir=str(tmp_path), use_pallas=False,
+                            dtype="float32", device_cache="on",
+                            progress=False)
+        with pytest.raises(ValueError, match="cannot be cached"):
+            Trainer(cfg).fit(train, val, val)
+
+    def test_rejects_sample_transform(self, adni_root):
+        """Cached feeds never revisit the host, so a host per-sample
+        transform must be rejected, not silently dropped."""
+        loader = _loader(adni_root)
+        loader.sample_transform = lambda it: it
+        with pytest.raises(ValueError, match="sample_transform"):
+            DeviceCachedFeed(loader)
+        with pytest.raises(ValueError, match="sample_transform"):
+            HybridCachedFeed(loader)
+
+
+def _row_bytes(adni_root):
+    return 24 * 28 * 24 * 4 * 2  # float32 synthetic volumes, MRI + PET
+
+
+class TestHybridCachedFeed:
+    def test_matches_host_path_bitwise(self, adni_root):
+        """With a budget fitting ~half the rows, two epochs of hot-gather +
+        cold-scatter batches equal the host Loader + pad_batch output
+        exactly, in the same shuffled order."""
+        host = _loader(adni_root)
+        n = len(host.indices)
+        budget = (n // 2) * _row_bytes(adni_root)
+        hybrid = HybridCachedFeed(_loader(adni_root), pad_to=3,
+                                  budget=budget)
+        assert 0 < hybrid.n_hot < n
+        for _ in range(2):  # epoch 2 re-shuffles; rng streams must agree
+            host_batches = [pad_batch(b, 3) for b in host]
+            dev_batches = list(hybrid)
+            assert len(dev_batches) == len(host_batches)
+            for hb, db in zip(host_batches, dev_batches):
+                for k in ("MRI", "PET", "label", "mask"):
+                    np.testing.assert_array_equal(
+                        np.asarray(db[k]), hb[k], err_msg=k)
+
+    @pytest.mark.parametrize("n_hot_rows", [0, 10**6])
+    def test_all_cold_and_all_hot_edges(self, adni_root, n_hot_rows):
+        """budget=0 (every row streamed+scattered) and budget=inf (pure
+        device gather) both reproduce the host path."""
+        host = _loader(adni_root, shuffle=False)
+        hybrid = HybridCachedFeed(
+            _loader(adni_root, shuffle=False), pad_to=3,
+            budget=n_hot_rows * _row_bytes(adni_root))
+        n = len(host.indices)
+        assert hybrid.n_hot == (0 if n_hot_rows == 0 else n)
+        for hb, db in zip((pad_batch(b, 3) for b in host), hybrid):
+            for k in ("MRI", "PET", "label", "mask"):
+                np.testing.assert_array_equal(
+                    np.asarray(db[k]), hb[k], err_msg=k)
+
+    def test_trainer_hybrid_tier_trains(self, adni_root, tmp_path,
+                                        monkeypatch):
+        """Trainer on a single device with an over-budget set routes
+        through the hybrid tier and trains to completion."""
+        from transmf_ad_tpu.data.device_cache import HybridCachedFeed as H
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        budget_mb = 4 * _row_bytes(adni_root) / 2**20  # ~4 rows hot
+        monkeypatch.setenv("TRANSMF_CACHE_BUDGET_MB", f"{budget_mb:.6f}")
+        recs = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(recs)
+        train = Loader(src, list(range(6)), batch_size=2, shuffle=True,
+                       seed=1)
+        val = Loader(src, list(range(6, len(src))), batch_size=2)
+        cfg = TrainerConfig(model="single", dim=8, epochs=2, aug=False,
+                            save_dir=str(tmp_path), use_pallas=False,
+                            dtype="float32", device_cache="hybrid",
+                            data_parallel=False, progress=False)
+        res = Trainer(cfg).fit(train, val, val)
+        assert res is not None and np.isfinite(res[0])

@@ -304,6 +304,7 @@ class TestKFoldVariants:
     """ADVIT and Mnet driver variants end-to-end (tiny synthetic volumes,
     padded to each variant's geometry)."""
 
+    @pytest.mark.slow
     def test_advit_variant(self, adni_root, tmp_path):
         opt = _opt(adni_root, tmp_path, model="Transformer", num_folds=2,
                    batch_size=3, stage1_epochs=1, stage2_epochs=0)
@@ -314,6 +315,7 @@ class TestKFoldVariants:
                                 "log.txt")).read()
         assert "Test Results" in log
 
+    @pytest.mark.slow
     def test_mnet_variant_eval_path(self, adni_root, tmp_path):
         # Full (91,109,91) geometry: compiling Mnet's fwd+bwd takes ~7 min
         # on this 1-core CPU, so the driver e2e covers the eval/test path
@@ -326,6 +328,7 @@ class TestKFoldVariants:
         assert len(res["folds"]) == 2
         assert np.isfinite(res["folds"][0][0])
 
+    @pytest.mark.slow
     def test_mnet_train_step_runs(self, adni_root, tmp_path):
         """Compile AND execute Mnet fwd+bwd+SGD for a full (tiny) epoch.
 
@@ -394,6 +397,7 @@ class TestKFoldVariants:
 
 
 class TestLearnability:
+    @pytest.mark.slow
     def test_single_model_learns_synthetic_task(self, adni_root, tmp_path):
         """The synthetic fixture is learnable (class-dependent blob size);
         a small sNet must beat chance on train data within a few epochs —

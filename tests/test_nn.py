@@ -523,6 +523,7 @@ class TestStemXStatsBlockedDw:
         np.testing.assert_allclose(np.asarray(dxp), np.asarray(dxr),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_snet_full_res_regime_matches_xla(self, rng, monkeypatch):
         """A whole SNet encoder on an over-VMEM-budget geometry with the
         blocked-stem kill-switch (the XLA-fwd routing: XLA stem conv +

@@ -181,6 +181,7 @@ class TestShardMapKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_ad_flagship_kernels_sharded_matches_single(self, rng):
         """The flagship ModelAd path: adds fused attention and the fused
         GAP/GMP token pool on top of the sNet kernels (head_dropout=0 so
@@ -202,6 +203,7 @@ class TestShardMapKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_band_conv_kernels_sharded_matches_single(self, rng,
                                                       monkeypatch):
         """Banded body convs (ops/band_conv.py, the full-res routing)
@@ -223,6 +225,7 @@ class TestShardMapKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("regime", ["blocked", "xla_fwd"])
     def test_over_vmem_regime_sharded_matches_single(self, rng, monkeypatch,
                                                      regime):
@@ -250,6 +253,7 @@ class TestShardMapKernels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_sharded_augmentation_differs_per_shard(self, rng):
         """Each data shard must draw independent augmentations (the rng is
         folded with axis_index); identical per-shard draws would correlate
@@ -301,6 +305,7 @@ class TestShardMapKernels:
                                    np.asarray(out2["probs"]),
                                    atol=1e-6, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_flash_attention_under_shard_map(self, rng):
         """The long-sequence flash kernel (fwd + its two Pallas bwd
         kernels) composes with a manual data axis: batch rows are
@@ -343,6 +348,7 @@ class TestGraftEntry:
         out = jax.eval_shape(fn, *args)  # abstract compile-path check
         assert out.shape == (2, 2)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 

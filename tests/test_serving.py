@@ -39,3 +39,59 @@ class TestServing:
         live = make_inference_fn(state, ("MRI", "PET"), True)
         expected = np.asarray(live(jnp.asarray(mri), jnp.asarray(pet)))
         np.testing.assert_allclose(probs, expected, atol=1e-5)
+
+    def test_polymorphic_batch(self, rng, tmp_path):
+        """Default export carries a SYMBOLIC batch dim: one artifact
+        serves any batch size, and each matches the live forward."""
+        state, shape = _state(rng)
+        path = str(tmp_path / "model_poly.stablehlo")
+        export_inference(state, ("MRI", "PET"), True, path, shape)
+        fn = load_inference(path)
+        live = make_inference_fn(state, ("MRI", "PET"), True)
+        for b in (1, 3, 5):
+            mri = rng.standard_normal((b, *shape)).astype(np.float32)
+            pet = rng.standard_normal((b, *shape)).astype(np.float32)
+            probs = np.asarray(fn(mri, pet))
+            assert probs.shape == (b, 2)
+            expected = np.asarray(live(jnp.asarray(mri), jnp.asarray(pet)))
+            np.testing.assert_allclose(probs, expected, atol=1e-5)
+
+    def test_single_modality_export(self, rng, tmp_path):
+        """Non-adversarial single-modality model exports and serves."""
+        model = build_model("single", dim=8)
+        tx, _ = build_optimizer("Adam", 1e-3, steps_per_epoch=1)
+        shape = (16, 16, 16)
+        mri = jnp.asarray(rng.standard_normal((2, *shape, 1)), jnp.float32)
+        state = create_state(model, tx, [mri], jax.random.key(0))
+        path = str(tmp_path / "single.stablehlo")
+        export_inference(state, ("MRI",), False, path, shape, batch_size=2)
+        fn = load_inference(path)
+        x = rng.standard_normal((2, *shape)).astype(np.float32)
+        probs = np.asarray(fn(x))
+        assert probs.shape == (2, 2)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    def test_artifact_matches_trained_checkpoint(self, rng, tmp_path):
+        """Export -> restore-from-checkpoint -> export again produces the
+        same probabilities: the artifact is a faithful function of the
+        SAVED weights, not of transient state."""
+        from transmf_ad_tpu.train import checkpoint as ckpt
+
+        state, shape = _state(rng)
+        # persist and reload weights the way the trainer does
+        saveable = {"params": state.params, "batch_stats": state.batch_stats}
+        ckpt.save_latest(str(tmp_path), saveable)
+        restored = ckpt.load(str(tmp_path / "latest.msgpack"), saveable)
+        state2 = state.replace(params=restored["params"],
+                               batch_stats=restored["batch_stats"])
+
+        p1 = str(tmp_path / "a.stablehlo")
+        p2 = str(tmp_path / "b.stablehlo")
+        export_inference(state, ("MRI", "PET"), True, p1, shape, batch_size=2)
+        export_inference(state2, ("MRI", "PET"), True, p2, shape,
+                         batch_size=2)
+        mri = rng.standard_normal((2, *shape)).astype(np.float32)
+        pet = rng.standard_normal((2, *shape)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(load_inference(p1)(mri, pet)),
+            np.asarray(load_inference(p2)(mri, pet)), atol=1e-6)

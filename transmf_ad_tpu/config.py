@@ -48,6 +48,11 @@ class Options:
     resume: str = "False"
     prefetch: int = 2
     dtype: Optional[str] = None  # 'bfloat16'/'float32'/None(auto: bf16 on TPU)
+    # volume cache/transfer dtype: 'auto' follows --dtype; 'uint8'
+    # quantizes the normalized volume (1/4 the float32 bytes in RAM,
+    # over the H2D link and in the HBM dataset cache; dequantized on
+    # device — data/pipeline.py::VolumeSource)
+    feed_dtype: str = "auto"
     use_class_weights: str = "False"  # weight CE by inverse class frequency
     pretrained: str = ""  # checkpoint to load before training (e.g. pretrainAD)
     remat: str = "False"  # rematerialize encoders (memory for recompute)

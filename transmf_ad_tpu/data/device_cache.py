@@ -38,7 +38,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["DeviceCachedFeed", "fits_budget", "cache_bytes", "hbm_budget"]
+__all__ = ["DeviceCachedFeed", "HybridCachedFeed", "fits_budget",
+           "cache_bytes", "hbm_budget"]
 
 
 def _data_axis_size(mesh) -> int:
@@ -104,6 +105,14 @@ class DeviceCachedFeed:
     device_resident = True
 
     def __init__(self, loader, mesh=None, pad_to: Optional[int] = None):
+        if getattr(loader, "sample_transform", None) is not None:
+            # the cache stores raw decoded volumes and gathers them on
+            # device — a host per-sample transform would silently never
+            # run (Trainer.fit only guards the cfg.aug_exact case)
+            raise ValueError(
+                "DeviceCachedFeed cannot apply the loader's host-side "
+                "sample_transform (cached volumes never revisit the host); "
+                "stream with pipeline.DeviceFeed instead")
         self.loader = loader
         self.mesh = mesh
         ds = _data_axis_size(mesh)
@@ -225,4 +234,204 @@ class DeviceCachedFeed:
             out = dict(self._gather(jnp.asarray(rows),
                                     jnp.asarray(b, jnp.int32)))
             out["_n_real"] = b  # host metadata (trainer BN-mask dispatch)
+            yield out
+
+
+class HybridCachedFeed:
+    """Hot/cold tiered feed for datasets OVER the HBM budget.
+
+    `DeviceCachedFeed` is all-or-nothing: one volume over budget and the
+    whole epoch falls back to streaming — at full resolution that means
+    every batch crosses the host->device link. Here the first K rows of
+    the loader's index list that fit the budget live in an HBM store
+    ("hot" tier); per batch, hot rows are gathered ON DEVICE and only the
+    cold rows are transferred, shrinking the per-epoch H2D bytes by the
+    hot fraction.
+
+     - Batch ORDER stays bit-identical to the host path (the wrapped
+       Loader's `_batches()` drives the epoch: same shuffle RNG,
+       drop_last, seed); each batch is reassembled in place by a jitted
+       scatter of the streamed rows into the gathered ones.
+     - The scatter executable specializes on the cold-row count, bucketed
+       to powers of two (<= log2(batch)+2 trivial variants, all hitting
+       the persistent compile cache).
+     - Labels for ALL rows live on device (4 bytes each).
+     - Cold-row host batches are assembled and their transfers dispatched
+       by a background thread `depth` batches ahead (same overlap
+       discipline as pipeline.DeviceFeed).
+
+    Single-process, unsharded (mesh=None) — `Trainer.fit` gates; the
+    per-device budget of a data-parallel mesh divides by the data-axis
+    size, so multi-chip runs mostly fit the full cache instead.
+    """
+
+    device_resident = True
+
+    def __init__(self, loader, pad_to: Optional[int] = None,
+                 budget: Optional[int] = None, depth: int = 2):
+        if getattr(loader, "sample_transform", None) is not None:
+            raise ValueError(
+                "HybridCachedFeed cannot apply the loader's host-side "
+                "sample_transform to hot-tier rows; stream with "
+                "pipeline.DeviceFeed instead")
+        self.loader = loader
+        self.pad_to = pad_to if pad_to is not None else loader.batch_size
+        self.depth = max(1, depth)
+        if budget is None:
+            budget = hbm_budget()
+        shape, itemsize, n_keys = _vol_shape(loader)
+        self._shape = shape
+        row_bytes = int(np.prod(shape)) * itemsize * n_keys
+        self.n_hot = min(len(loader.indices), max(0, budget // row_bytes))
+        self._store = None
+        self._labels = None
+        self._pos: Dict[int, int] = {}
+
+    # ----- loader protocol -----
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def batch_size(self):
+        return self.loader.batch_size
+
+    def peek(self):
+        return self.loader.peek()
+
+    @property
+    def hot_fraction(self) -> float:
+        return self.n_hot / max(1, len(self.loader.indices))
+
+    # ----- fill -----
+
+    def _fill(self):
+        import jax.numpy as jnp
+
+        src = self.loader.source
+        idxs = [int(i) for i in self.loader.indices]
+        hot = idxs[: self.n_hot]
+        self._pos = {s: j for j, s in enumerate(hot)}
+        self._all_pos = {s: j for j, s in enumerate(idxs)}
+        dtype = np.dtype(src.dtype)
+
+        def stack(key):
+            out = np.empty((max(1, len(hot)), *self._shape), dtype)
+            for j, s in enumerate(hot):
+                out[j] = src[s][key]
+            return jnp.asarray(out)
+
+        self._store = {k: stack(k) for k in src.keys}
+        labels = np.asarray(
+            [int(src.records[s]["label"]) for s in idxs], np.int32)
+        self._labels = jnp.asarray(labels)
+        self._build_combine()
+
+    def _build_combine(self):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        def combine(store, labels, rows_store, rows_all, cold_pos,
+                    streamed, n_real):
+            out = {k: jnp.take(v, rows_store, axis=0)
+                   for k, v in store.items()}
+            if streamed:  # scatter the transferred cold rows in place
+                for k in out:
+                    out[k] = out[k].at[cold_pos].set(streamed[k])
+            out["label"] = jnp.take(labels, rows_all, axis=0)
+            out["mask"] = (jnp.arange(rows_store.shape[0])
+                           < n_real).astype(jnp.float32)
+            return out
+
+        self._combine = functools.partial(
+            jax.jit(combine), self._store, self._labels)
+
+    # ----- iteration -----
+
+    def _host_batches(self):
+        """Per loader batch: (rows_store, rows_all, cold_pos, streamed, b)
+        as numpy — the transfer-ready description of one batch."""
+        src = self.loader.source
+        pos, all_pos = self._pos, self._all_pos
+        keys = src.keys
+        for idx in self.loader._batches():
+            b = len(idx)
+            padded = [int(s) for s in idx]
+            if b < self.pad_to:  # wrap-around duplicates (pipeline.pad_batch)
+                padded += [padded[j % b] for j in range(self.pad_to - b)]
+            rows_store = np.zeros(self.pad_to, np.int32)
+            rows_all = np.empty(self.pad_to, np.int32)
+            cold = []
+            for j, s in enumerate(padded):
+                rows_all[j] = all_pos[s]
+                if s in pos:
+                    rows_store[j] = pos[s]
+                else:
+                    cold.append((j, s))
+            if cold:
+                items = src.get_batch([s for _, s in cold])
+                streamed = {k: np.stack([it[k] for it in items])
+                            for k in keys}
+                cold_pos = np.asarray([j for j, _ in cold], np.int32)
+                # bucket the cold count to a power of two so the scatter
+                # compiles O(log batch) variants; padding repeats the last
+                # real row/position (a duplicate scatter of the same value
+                # is a no-op)
+                m = len(cold)
+                cap = 1
+                while cap < m:
+                    cap *= 2
+                cap = min(cap, self.pad_to)
+                if m < cap:
+                    pad = cap - m
+                    cold_pos = np.concatenate(
+                        [cold_pos, np.repeat(cold_pos[-1:], pad)])
+                    streamed = {k: np.concatenate(
+                        [v, np.repeat(v[-1:], pad, axis=0)])
+                        for k, v in streamed.items()}
+            else:
+                streamed, cold_pos = {}, np.zeros(0, np.int32)
+            yield rows_store, rows_all, cold_pos, streamed, b
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        import jax.numpy as jnp
+
+        if self._store is None:
+            self._fill()
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        DONE = object()
+
+        def worker():
+            # assemble + DISPATCH the cold-row transfers ahead of
+            # consumption: jnp.asarray enqueues an async H2D copy, so the
+            # link stays busy while the consumer's step computes
+            try:
+                for rs, ra, cp, streamed, b in self._host_batches():
+                    dev = (jnp.asarray(rs), jnp.asarray(ra),
+                           jnp.asarray(cp),
+                           {k: jnp.asarray(v) for k, v in streamed.items()},
+                           b)
+                    q.put(dev)
+                q.put(DONE)
+            except BaseException as e:
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            rs, ra, cp, streamed, b = item
+            out = dict(self._combine(rs, ra, cp, streamed,
+                                     jnp.asarray(b, jnp.int32)))
+            out["_n_real"] = b
             yield out

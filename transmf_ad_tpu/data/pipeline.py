@@ -48,6 +48,15 @@ class VolumeSource:
     model casts activations to bfloat16 at the stem anyway, and device-
     side augmentation resamples in float32 regardless of input dtype
     (`transforms._affine_resample`).
+
+    `dtype=uint8` quantizes the [0,1]-normalized volume to q=round(255*x)
+    (requires `normalize=True`): RAM cache, H2D transfer and the HBM
+    dataset cache all shrink to a QUARTER of float32 / HALF of bfloat16.
+    The training/eval steps dequantize on device (q/255, fused into the
+    input chain — `train.steps.dequantize_inputs`). Quantization step
+    1/255 = 0.0039 is the same order as bfloat16's relative precision
+    (2^-8) at mid-range intensities; opt-in for feed-bound pipelines
+    (see docs/PERFORMANCE.md "Streamed-feed ceiling").
     """
 
     def __init__(
@@ -65,6 +74,10 @@ class VolumeSource:
         self.pad_to = pad_to
         self.normalize = normalize
         self.dtype = np.dtype(dtype)
+        if self.dtype == np.uint8 and not normalize:
+            raise ValueError(
+                "dtype=uint8 quantizes the [0,1]-normalized volume; "
+                "it requires normalize=True")
         self._cache: Optional[List] = [None] * len(self.records) if cache else None
         self._lock = threading.Lock()
         if use_native is None:
@@ -89,7 +102,10 @@ class VolumeSource:
         if self.pad_to is not None:
             vol = spatial_pad(vol, self.pad_to)
         if vol.dtype != self.dtype:
-            vol = vol.astype(self.dtype)
+            if self.dtype == np.uint8:  # quantize the normalized volume
+                vol = (vol * 255.0 + 0.5).astype(np.uint8)
+            else:
+                vol = vol.astype(self.dtype)
         return vol
 
     def _decode(self, rec: Dict) -> Dict:

@@ -55,7 +55,17 @@ class ManualBN(nn.Module):
         bit-identical statistics to feeding the short batch as-is — the
         reference behavior (reference: kfold_train_adversarial.py:64-66).
         Mutually exclusive with `stats` (producer-kernel sums cover the
-        whole padded batch and cannot be mask-corrected per sample)."""
+        whole padded batch and cannot be mask-corrected per sample).
+
+        n==1 note: the unbiased running_var correction n/max(n-1, 1)
+        degrades to the biased variance (0) at a single statistic sample;
+        torch errors on batch-of-1 training instead. Unreachable through
+        the drivers (spatial dims make n >= batch*spatial >> 1)."""
+        if stats is not None and mask is not None:
+            raise ValueError(
+                "ManualBN: `stats` and `mask` are mutually exclusive — "
+                "producer-kernel sums cover the whole padded batch and "
+                "cannot be mask-corrected per sample")
         C = y.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (C,))
         beta = self.param("bias", nn.initializers.zeros, (C,))

@@ -35,13 +35,22 @@ def make_inference_fn(state, modalities: Sequence[str], adversarial: bool):
 
 def export_inference(state, modalities: Sequence[str], adversarial: bool,
                      path: str, input_shape: Tuple[int, ...],
-                     batch_size: int = 8, dtype=jnp.float32) -> str:
-    """Serialize the inference function to a StableHLO artifact at `path`."""
+                     batch_size=None, dtype=jnp.float32) -> str:
+    """Serialize the inference function to a StableHLO artifact at `path`.
+
+    `batch_size=None` (default) exports with a SYMBOLIC batch dimension:
+    the loaded artifact accepts any batch size (the serving process is
+    not tied to the training batch). Pass an int to pin the batch (one
+    specialized executable, marginally faster cold-compile at load)."""
     from jax import export as jexport
 
     infer = make_inference_fn(state, modalities, adversarial)
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch_size
     args = [
-        jax.ShapeDtypeStruct((batch_size, *input_shape), dtype)
+        jax.ShapeDtypeStruct((b, *input_shape), dtype)
         for _ in modalities
     ]
     exported = jexport.export(jax.jit(infer))(*args)

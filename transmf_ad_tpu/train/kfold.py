@@ -45,11 +45,16 @@ def transfer_dtype(opt: Options):
     """Host cache/transfer dtype for volumes: the compute dtype when it is
     bfloat16 (halves H2D bytes and RAM cache vs float32 — the host feed is
     the epoch bottleneck once device steps are ~60 ms), float32 otherwise.
+    `--feed_dtype uint8` quantizes the normalized volume instead (1/4 the
+    float32 bytes; device-side dequant — see VolumeSource).
     Exact-MONAI augmentation forces float32 (the exact pipeline is defined
-    on the float32 normalized volume; a bf16 cache round-trip would break
-    bit-near-exactness, data/exact_monai.py)."""
+    on the float32 normalized volume; a bf16/uint8 cache round-trip would
+    break bit-near-exactness, data/exact_monai.py)."""
     if str2bool(opt.aug_exact) and opt.aug_bool:
         return np.float32
+    if getattr(opt, "feed_dtype", "auto") not in ("auto", "", None):
+        return np.dtype(opt.feed_dtype) if opt.feed_dtype != "bfloat16" \
+            else np.dtype(resolve_dtype("bfloat16"))
     dt = resolve_dtype(opt.dtype or "auto")
     return np.dtype(dt) if dt is not None else np.float32
 

@@ -60,10 +60,22 @@ def create_state(model, tx: optax.GradientTransformation, sample_inputs,
     )
 
 
+def dequantize_input(v):
+    """Undo the host feed's uint8 quantization (q = round(255*x) of the
+    [0,1]-normalized volume, data/pipeline.py::VolumeSource) on device.
+    The convert+scale fuses into the consumer (augmentation's f32
+    resample, or the stem's input cast); non-integer inputs pass through
+    untouched."""
+    if v.dtype == jnp.uint8:
+        return v.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return v
+
+
 def _prep_inputs(batch, modalities: Sequence[str],
                  aug_cfg: Optional[AugmentConfig], key):
-    """Augment (optionally) and add the channel axis: (B,X,Y,Z) -> (B,X,Y,Z,1)."""
-    vols = {k: batch[k] for k in modalities}
+    """Dequantize (uint8 feeds), augment (optionally) and add the channel
+    axis: (B,X,Y,Z) -> (B,X,Y,Z,1)."""
+    vols = {k: dequantize_input(batch[k]) for k in modalities}
     if aug_cfg is not None:
         keys = jax.random.split(key, batch["label"].shape[0])
         vols = jax.vmap(lambda v, k: augment(v, k, aug_cfg))(vols, keys)

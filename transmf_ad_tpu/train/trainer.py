@@ -184,25 +184,15 @@ class Trainer:
             cfg.optimizer, cfg.lr, cfg.weight_decay, steps_per_epoch,
             milestones=cfg.milestones, momentum=cfg.momentum,
         )
-        inputs = [jnp.asarray(sample_batch[k][..., None]) for k in self.modalities]
+        from .steps import dequantize_input
+
+        inputs = [dequantize_input(jnp.asarray(sample_batch[k][..., None]))
+                  for k in self.modalities]
         self.state = create_state(
             self.model, tx, inputs, jax.random.key(cfg.seed)
         )
         if cfg.pretrained_path:
-            if cfg.pretrained_path.endswith((".pt", ".pth")):
-                # reference torch checkpoint (ignite best_label_*.pt /
-                # pretrainAD.pt) — map the state_dict into flax trees
-                # (reference: kfold_train_adversarial.py:80-83)
-                from ..utils.torch_import import import_torch_checkpoint
-
-                restored = import_torch_checkpoint(
-                    cfg.pretrained_path, cfg.model,
-                    {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats})
-            else:
-                restored = ckpt.load(cfg.pretrained_path,
-                                     _saveable(self.state))
-            self.state = _restore_state(self.state, restored)
+            self.load_checkpoint(cfg.pretrained_path)
             self.logger.print_message(
                 f"Load pre-training model {cfg.pretrained_path}")
         if self.mesh is not None:
@@ -212,6 +202,44 @@ class Trainer:
             self._batch_sharding = batch_sharding(self.mesh)
             self._replicated = replicated(self.mesh)
         return self.state
+
+    def load_checkpoint(self, path: str):
+        """Restore model weights (and batch stats) into the live state from
+        a framework `.msgpack` checkpoint OR a reference torch `.pt`
+        (mapped via utils/torch_import.py — ignite best_label_*.pt /
+        pretrainAD.pt, reference: kfold_train_adversarial.py:80-83,231-233).
+        Requires `init_state` to have run (shapes come from the live tree).
+        """
+        if self.state is None:
+            raise RuntimeError("load_checkpoint requires init_state first")
+        if path.endswith((".pt", ".pth")):
+            from ..utils.torch_import import import_torch_checkpoint
+
+            restored = import_torch_checkpoint(
+                path, self.cfg.model,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats})
+        else:
+            restored = ckpt.load(path, _saveable(self.state))
+        self.state = _restore_state(self.state, restored)
+        if self.mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+        return self.state
+
+    def evaluate_from_checkpoint(self, loader, checkpoint_path: str) -> dict:
+        """Public one-call scoring entry: initialize (if needed), restore
+        `checkpoint_path` (framework .msgpack or reference torch .pt) and
+        run the full test-metric pass over `loader`. This is the
+        standalone-evaluation surface the reference only offers inside a
+        training run (reference: kfold_train_adversarial.py:229-250)."""
+        if self.state is None:
+            sample = (loader.peek() if hasattr(loader, "peek")
+                      else next(iter(loader)))
+            self.init_state(sample, steps_per_epoch=1)
+        self.load_checkpoint(checkpoint_path)
+        return self.evaluate(loader)
 
     def _data_axis_size(self) -> int:
         return self.mesh.shape["data"] if self.mesh is not None else 1
@@ -326,11 +354,21 @@ class Trainer:
 
         exact_aug = cfg.aug and cfg.aug_exact
         aug_cfg = cfg.aug_cfg if (cfg.aug and not exact_aug) else None
-        if exact_aug and getattr(train_loader, "sample_transform", 1) is None:
-            from ..data.exact_monai import make_sample_transform
+        if exact_aug:
+            _missing = object()
+            st = getattr(train_loader, "sample_transform", _missing)
+            if st is _missing:
+                # a loader with no hook would otherwise train with NO
+                # augmentation despite --aug_exact True
+                raise ValueError(
+                    "aug_exact=True but the train loader has no "
+                    "sample_transform hook (use data.pipeline.Loader, or "
+                    "apply data.exact_monai.make_sample_transform yourself)")
+            if st is None:
+                from ..data.exact_monai import make_sample_transform
 
-            train_loader.sample_transform = make_sample_transform(
-                cfg.seed + 7, cfg.aug_cfg)
+                train_loader.sample_transform = make_sample_transform(
+                    cfg.seed + 7, cfg.aug_cfg)
         step_kw = dict(aug_cfg=aug_cfg, class_weights=class_weights,
                        mesh=self.mesh)
         train_step = make_train_step(
@@ -350,8 +388,8 @@ class Trainer:
         # epoch after the one-time fill; batches gathered on device).
         # Fallback: streaming DeviceFeed (double-buffered H2D, sharded over
         # the data axis), e.g. full-resolution sets over the HBM budget.
-        from ..data.device_cache import (DeviceCachedFeed, cache_bytes,
-                                         hbm_budget)
+        from ..data.device_cache import (DeviceCachedFeed, HybridCachedFeed,
+                                         cache_bytes, hbm_budget)
         from ..data.pipeline import DeviceFeed
 
         n_data = self._data_axis_size()
@@ -363,11 +401,11 @@ class Trainer:
         already_fed = (isinstance(train_loader, DeviceFeed)
                        or getattr(train_loader, "device_resident", False))
         if not already_fed and not exact_aug \
-                and cfg.device_cache in ("auto", "on") \
+                and cfg.device_cache in ("auto", "on", "hybrid") \
                 and hasattr(train_loader, "source"):
             budget = hbm_budget()
             tb = cache_bytes(train_loader, self.mesh)
-            if tb <= budget:
+            if tb <= budget and cfg.device_cache != "hybrid":
                 feed = DeviceCachedFeed(train_loader, self.mesh,
                                         pad_to=pad_to)
                 vb = (cache_bytes(val_loader, self.mesh)
@@ -379,12 +417,38 @@ class Trainer:
                     + ("" if val_feed is val_loader
                        else f" + val {vb / 2**20:.0f} MB/device")
                     + f" (budget {budget / 2**20:.0f} MB)")
+            elif self.mesh is None \
+                    and cfg.device_cache in ("auto", "hybrid"):
+                # over-budget (or forced): hot fraction in HBM, cold rows
+                # streamed — per-epoch H2D bytes shrink by the hot fraction
+                hybrid = HybridCachedFeed(train_loader, pad_to=pad_to,
+                                          budget=budget)
+                if hybrid.n_hot >= 2 * base or cfg.device_cache == "hybrid":
+                    feed = hybrid
+                    logger.print_message(
+                        f"HBM hybrid cache: {hybrid.n_hot}/"
+                        f"{len(train_loader.indices)} train volumes hot "
+                        f"({100 * hybrid.hot_fraction:.0f}%; "
+                        f"budget {budget / 2**20:.0f} MB, full set needs "
+                        f"{tb / 2**20:.0f} MB)")
             elif cfg.device_cache == "on":
                 raise ValueError(
                     f"device_cache='on' but the training set needs "
                     f"{tb / 2**20:.0f} MB/device > budget "
                     f"{budget / 2**20:.0f} MB (set TRANSMF_CACHE_BUDGET_MB "
                     f"or use device_cache='auto' to stream)")
+        elif cfg.device_cache == "on" \
+                and not getattr(train_loader, "device_resident", False):
+            # 'on' promises caching for ANY reason it cannot happen, not
+            # just budget overflow: a pre-wrapped DeviceFeed / sourceless
+            # loader or aug_exact's per-epoch host transforms all stream
+            why = ("aug_exact host transforms change batches every epoch"
+                   if exact_aug else
+                   "the loader exposes no .source to cache (pre-wrapped "
+                   "feed?)")
+            raise ValueError(
+                f"device_cache='on' but the train feed cannot be cached: "
+                f"{why}; use device_cache='auto' to stream")
         if feed is train_loader and not isinstance(train_loader, DeviceFeed):
             feed = DeviceFeed(train_loader, self._batch_sharding, depth=2,
                               pad_to=pad_to)
