@@ -6,12 +6,16 @@ dumps final params + metrics for cross-process / vs-single-process
 comparison.
 
 Usage: python tests/_multihost_worker.py <pid> <nproc> <port> <outdir>
-                                         [<adni_root>]
+                                         [<adni_root> | resume1 | resume2]
 (spawned with XLA_FLAGS=--xla_force_host_platform_device_count=4).
 With <adni_root>: cache mode — real VolumeSource loaders over a synthetic
 ADNI tree with device_cache='on', counting which NIfTI files THIS process
 decodes, so the test can assert the HBM cache fill is split by shard
 ownership across processes (no duplicated host decode).
+With resume1/resume2: crash-resume mode — phase 1 trains 2 of 4 epochs
+(plus a straight-4-epoch control) and EXITS; phase 2 is a fresh process
+group that resumes from the shared latest.msgpack and must reproduce the
+control bit-for-bit.
 """
 
 import json
@@ -22,7 +26,7 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outdir = sys.argv[4]
-    adni_root = sys.argv[5] if len(sys.argv) > 5 else None
+    mode = sys.argv[5] if len(sys.argv) > 5 else None
 
     import jax
 
@@ -35,8 +39,10 @@ def main():
     from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
     from tests._multihost_data import make_loaders, trainer_config_kwargs
 
-    if adni_root is not None:
-        return cache_mode(pid, nproc, port, outdir, adni_root)
+    if mode in ("resume1", "resume2"):
+        return resume_mode(pid, nproc, port, outdir, mode)
+    if mode is not None:
+        return cache_mode(pid, nproc, port, outdir, mode)
 
     cfg = TrainerConfig(
         coordinator_address=f"localhost:{port}",
@@ -61,6 +67,59 @@ def main():
     with open(os.path.join(outdir, f"res_{pid}.json"), "w") as f:
         json.dump({"res": [float(x) for x in res],
                    "primary": bool(trainer.primary)}, f)
+    print(f"WORKER_{pid}_OK", flush=True)
+
+
+def resume_mode(pid, nproc, port, outdir, phase):
+    """Multi-host crash-resume across a REAL process restart.
+
+    phase 'resume1': train 2 of 4 epochs into ckpt_resume (latest saved
+    each epoch) and exit — the 'crash'; then train a straight 4-epoch
+    control into ckpt_control within the same process group.
+    phase 'resume2' (a fresh process group, fresh processes): resume from
+    ckpt_resume's shared latest.msgpack to epoch 4. Because the resume
+    restores opt_state + step (LR-schedule position, fold-in RNG) and the
+    batch stream is deterministic, the resumed params must equal the
+    straight-run control's.
+    """
+    import jax
+    import numpy as np
+
+    from tests._multihost_data import make_loaders, trainer_config_kwargs
+    from transmf_ad_tpu.parallel import fetch_global
+    from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+    kwargs = trainer_config_kwargs()
+
+    def flat_params(trainer):
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        return np.concatenate([fetch_global(p).ravel() for p in leaves])
+
+    if phase == "resume1":
+        cfg = TrainerConfig(
+            coordinator_address=f"localhost:{port}", num_processes=nproc,
+            process_id=pid, save_dir=os.path.join(outdir, "ckpt_resume"),
+            **kwargs)  # epochs=2, save_latest_every=1
+        Trainer(cfg).fit(*make_loaders())
+        kw4 = dict(kwargs, epochs=4)
+        cfg_ctl = TrainerConfig(
+            coordinator_address=f"localhost:{port}", num_processes=nproc,
+            process_id=pid, save_dir=os.path.join(outdir, "ckpt_control"),
+            **kw4)
+        t = Trainer(cfg_ctl)
+        t.fit(*make_loaders())
+        np.save(os.path.join(outdir, f"control_params_{pid}.npy"),
+                flat_params(t))
+    else:
+        kw4 = dict(kwargs, epochs=4)
+        cfg = TrainerConfig(
+            coordinator_address=f"localhost:{port}", num_processes=nproc,
+            process_id=pid, save_dir=os.path.join(outdir, "ckpt_resume"),
+            resume=True, **kw4)
+        t = Trainer(cfg)
+        t.fit(*make_loaders())
+        np.save(os.path.join(outdir, f"resumed_params_{pid}.npy"),
+                flat_params(t))
     print(f"WORKER_{pid}_OK", flush=True)
 
 

@@ -146,6 +146,40 @@ class TestDeviceCachedFeed:
         with pytest.raises(ValueError, match="budget"):
             Trainer(cfg_on).fit(train, val, val)
 
+    def test_sharded_cache_ragged_matches_single_device(self, adni_root,
+                                                        tmp_path):
+        """device_cache='on' + a RAGGED final batch (drop_last=False) under
+        the 8-device shard_map mesh: the duplicate-padded rows are masked
+        out of loss/metrics and BN statistics, so the final parameters
+        match the single-device streaming run (SGD: divergence stays at
+        reduction-order noise)."""
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        recs = ADNI(adni_root, "ADNI.csv", "ADCN").data_dict
+        src = VolumeSource(recs)
+        n = min(10, len(src) - 3)  # batch 4 -> ragged final batch
+
+        def run(data_parallel, cache, subdir):
+            train = Loader(src, list(range(n)), batch_size=4, shuffle=True,
+                           seed=2, drop_last=False)
+            val = Loader(src, list(range(n, len(src))), batch_size=3)
+            cfg = TrainerConfig(
+                model="single", dim=8, optimizer="SGD", lr=1e-2,
+                momentum=0.9, epochs=2, aug=False, seed=5,
+                save_dir=str(tmp_path / subdir), use_pallas=False,
+                dtype="float32", device_cache=cache,
+                data_parallel=data_parallel, progress=False)
+            t = Trainer(cfg)
+            t.fit(train, val, None)
+            return np.concatenate([
+                np.asarray(p).ravel()
+                for p in jax.tree_util.tree_leaves(t.state.params)])
+
+        sharded = run(True, "on", "mesh")
+        single = run(False, "off", "single")
+        assert n % 4 != 0  # the scenario really has a ragged batch
+        np.testing.assert_allclose(sharded, single, rtol=5e-5, atol=5e-6)
+
     def test_on_raises_for_uncacheable_loader(self, adni_root, tmp_path):
         """device_cache='on' must raise for ANY reason caching cannot
         happen — here a pre-wrapped DeviceFeed with no .source."""

@@ -175,3 +175,32 @@ class TestAugmentExact:
         res = Trainer(cfg).fit(train, val, val)
         assert train.sample_transform is not None
         assert np.isfinite(res[0])
+
+    def test_bf16_post_transform_cast(self, tmp_path):
+        """Under bf16 compute, the trainer wraps the exact transform to
+        cast volumes AFTER the f32 transform (half the H2D bytes); the
+        transform math itself still sees float32 inputs."""
+        import jax.numpy as jnp
+
+        from transmf_ad_tpu.data.adni import ADNI
+        from transmf_ad_tpu.data.pipeline import Loader, VolumeSource
+        from transmf_ad_tpu.data.synthetic import make_synthetic_adni
+        from transmf_ad_tpu.train.trainer import Trainer, TrainerConfig
+
+        root = str(tmp_path / "adni")
+        make_synthetic_adni(root, n_per_group=3, shape=(16, 16, 16), seed=1)
+        recs = ADNI(root, "ADNI.csv", "ADCN").data_dict
+        source = VolumeSource(recs, keys=("MRI",))  # f32 source cache
+        train = Loader(source, list(range(4)), batch_size=2, shuffle=True,
+                       seed=0)
+        val = Loader(source, [4, 5], batch_size=2)
+
+        cfg = TrainerConfig(model="single", dim=16, epochs=1, aug=True,
+                            aug_exact=True, use_pallas=False,
+                            dtype="bfloat16", progress=False,
+                            save_dir=str(tmp_path / "ckpt"))
+        res = Trainer(cfg).fit(train, val, val)
+        assert np.isfinite(res[0])
+        item = train.sample_transform(source[0])
+        assert item["MRI"].dtype == np.dtype(jnp.bfloat16)
+        assert source[0]["MRI"].dtype == np.float32  # cache untouched

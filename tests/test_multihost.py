@@ -105,6 +105,43 @@ def multihost_cache_run(tmp_path_factory):
     return outdir, logs
 
 
+@pytest.fixture(scope="module")
+def multihost_resume_run(tmp_path_factory):
+    """Crash-resume across a REAL restart: one 2-process group trains 2 of
+    4 epochs (+ a straight-4 control) and exits; a FRESH 2-process group
+    resumes from the shared latest.msgpack to epoch 4."""
+    outdir = str(tmp_path_factory.mktemp("multihost_resume"))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    worker = os.path.join(REPO, "tests", "_multihost_worker.py")
+    logs = {}
+    for phase in ("resume1", "resume2"):
+        port = _free_port()  # fresh coordinator per process group
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port), outdir,
+                 phase],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+            outs.append(out)
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0 and f"WORKER_{pid}_OK" in out, (
+                f"{phase} worker {pid} failed:\n{out[-4000:]}")
+        logs[phase] = outs
+    return outdir, logs
+
+
 class TestMultiHost:
     def test_processes_agree(self, multihost_run):
         outdir, _ = multihost_run
@@ -167,6 +204,21 @@ class TestMultiHost:
         p1 = np.load(os.path.join(outdir, "cache_params_1.npy"))
         np.testing.assert_array_equal(p0, p1)
         np.testing.assert_allclose(r0["res"], r1["res"], rtol=1e-6)
+
+    def test_resume_across_restart_matches_straight_run(
+            self, multihost_resume_run):
+        """A fresh process group resuming from the shared latest.msgpack
+        (opt state + step restored) reproduces the uninterrupted 4-epoch
+        control run, and both processes agree."""
+        outdir, logs = multihost_resume_run
+        r0 = np.load(os.path.join(outdir, "resumed_params_0.npy"))
+        r1 = np.load(os.path.join(outdir, "resumed_params_1.npy"))
+        c0 = np.load(os.path.join(outdir, "control_params_0.npy"))
+        np.testing.assert_array_equal(r0, r1)
+        np.testing.assert_allclose(r0, c0, rtol=1e-6, atol=1e-7)
+        # the resumed group actually restarted from epoch 2, not 0
+        assert any("Resumed from epoch 2" in out
+                   for out in logs["resume2"]), logs["resume2"][0][-2000:]
 
     def test_primary_owns_side_effects(self, multihost_run):
         outdir, _ = multihost_run

@@ -353,3 +353,30 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("n,model_axis", [
+        (16, 2),   # data=8  x model=2
+        (16, 4),   # data=4  x model=4
+        (32, 2),   # data=16 x model=2
+    ])
+    def test_dryrun_scales_past_eight_devices(self, n, model_axis):
+        """The sharded train step compiles + executes on virtual meshes
+        beyond the 8-device default, across data x model combinations
+        (clean subprocess: this test process is pinned to 8 devices)."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["TRANSMF_DRYRUN_MODEL"] = str(model_axis)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "__graft_entry__.py"),
+             "dryrun", str(n)],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+        assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+        assert "dryrun_multichip ok" in out.stdout
+        assert f"'model': {model_axis}" in out.stdout

@@ -153,6 +153,16 @@ class Trainer:
 
             n = jax.device_count()
             mp = max(1, cfg.model_parallel)
+            if mp > 1 and cfg.dim < 1024:
+                # soft gate: measured guidance says tensor parallelism
+                # only pays from dim >= 1024 (shards >= 512 lanes wide);
+                # below that it trades MXU fill + ICI collectives for
+                # nothing (docs/ARCHITECTURE.md "Sizing guidance")
+                self.logger.print_message(
+                    f"WARNING: model_parallel={mp} at dim={cfg.dim}: "
+                    "tensor parallelism rarely pays below dim 1024 — "
+                    "data-parallel only is optimal at reference scale "
+                    "(docs/ARCHITECTURE.md 'Sizing guidance')")
             # data axis first: under multi-host it is the axis split
             # across processes (gradient/BN psums ride DCN; 'model'
             # collectives stay on intra-host ICI)
@@ -367,8 +377,16 @@ class Trainer:
             if st is None:
                 from ..data.exact_monai import make_sample_transform
 
-                train_loader.sample_transform = make_sample_transform(
-                    cfg.seed + 7, cfg.aug_cfg)
+                st = make_sample_transform(cfg.seed + 7, cfg.aug_cfg)
+                if self.dtype is not None:
+                    # bf16 compute: cast AFTER the exact f32 transform so
+                    # the H2D transfer is half the bytes — the same
+                    # quantization the production bf16 feed applies; the
+                    # MONAI-exact math itself still runs in float32
+                    # (the f32 SOURCE cache is what exactness needs)
+                    st = _cast_after_transform(st, self.modalities,
+                                               self.dtype)
+                train_loader.sample_transform = st
         step_kw = dict(aug_cfg=aug_cfg, class_weights=class_weights,
                        mesh=self.mesh)
         train_step = make_train_step(
@@ -616,6 +634,21 @@ class Trainer:
             res_fold = [metrics["loss"], metrics["accuracy"], metrics["sen"],
                         metrics["spe"], metrics["f1"], metrics["auc"]]
         return res_fold
+
+
+def _cast_after_transform(st, modalities, dtype):
+    """Wrap a host sample_transform to cast volume keys to the compute
+    dtype AFTER the exact f32 transform (halves aug_exact H2D bytes when
+    training in bfloat16)."""
+    np_dtype = np.dtype(dtype)
+
+    def wrapped(item):
+        out = dict(st(item))
+        for k in modalities:
+            out[k] = np.asarray(out[k]).astype(np_dtype)
+        return out
+
+    return wrapped
 
 
 def _fmt_metrics(m: dict) -> str:
