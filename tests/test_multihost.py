@@ -22,11 +22,11 @@ import jax
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
-
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
