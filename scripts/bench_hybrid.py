@@ -26,9 +26,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 8
-SHAPE = (91, 109, 91)
-EPOCHS = 4
+BATCH = int(os.environ.get("HYB_BATCH", 8))
+SHAPE = tuple(int(x) for x in os.environ.get("HYB_SHAPE", "91,109,91").split(","))
+EPOCHS = int(os.environ.get("HYB_EPOCHS", 4))
+N_PER_GROUP = int(os.environ.get("HYB_N", 28))
+DTYPE = os.environ.get("HYB_DTYPE", "bf16")  # bf16 | uint8
+FRACS = tuple(float(f) for f in os.environ.get("HYB_FRACS", "0.5,0.9").split(","))
 
 
 def main():
@@ -41,15 +44,19 @@ def main():
     from transmf_ad_tpu.train.optim import build_optimizer
     from transmf_ad_tpu.train.steps import create_state, make_train_step
 
-    root = os.environ.get("BENCH_ADNI_ROOT", "/tmp/bench_adni_full")
+    shp = "x".join(str(s) for s in SHAPE)
+    root = os.environ.get("BENCH_ADNI_ROOT",
+                          f"/tmp/bench_adni_hyb_{shp}_{N_PER_GROUP}")
     if not os.path.isdir(os.path.join(root, "MRI")):
-        make_synthetic_adni(root, n_per_group=28, shape=SHAPE, seed=0)
+        make_synthetic_adni(root, n_per_group=N_PER_GROUP, shape=SHAPE, seed=0)
     recs = ADNI(root, "ADNI.csv", "ADCN").data_dict
-    src = VolumeSource(recs, dtype=jnp.bfloat16)
+    dt = np.uint8 if DTYPE == "uint8" else jnp.bfloat16
+    src = VolumeSource(recs, dtype=dt)
     for i in range(len(src)):
         src[i]
     n = len(src)
-    row_bytes = int(np.prod(SHAPE)) * 2 * 2  # bf16, MRI+PET
+    itemsize = 1 if DTYPE == "uint8" else 2
+    row_bytes = int(np.prod(SHAPE)) * itemsize * 2  # MRI+PET
 
     model = build_model("ad", dim=128, depth=3, heads=4, dtype=jnp.bfloat16)
     tx, _ = build_optimizer("Adam", 1e-4, 0.0, 1)
@@ -81,9 +88,11 @@ def main():
         return Loader(src, batch_size=BATCH, shuffle=True, drop_last=True,
                       seed=0)
 
+    print(f"shape={SHAPE} dtype={DTYPE} n={n} batch={BATCH} "
+          f"row={row_bytes / 1e6:.1f} MB", flush=True)
     arm("stream (DeviceFeed)", DeviceFeed(fresh_loader(), depth=2,
                                           pad_to=BATCH))
-    for frac in (0.5, 0.9):
+    for frac in FRACS:
         hot = int(n * frac)
         h = HybridCachedFeed(fresh_loader(), pad_to=BATCH,
                              budget=hot * row_bytes)
