@@ -99,8 +99,10 @@ def main():
             n = 0
             for b in feed:
                 b.pop("_n_real", None)
-                b = {k: jnp.asarray(np.asarray(v), jnp.bfloat16)
-                     if k in ("MRI", "PET") else v for k, v in b.items()}
+                # feeds deliver DEVICE arrays already in the feed dtype
+                # (bf16 here; the exact arm casts post-transform) — any
+                # np.asarray here would round-trip every batch D2H+H2D
+                # through the tunnel and poison all three arms ~10x.
                 _, aux = step(state, b, key)
                 n += BATCH
             float(np.asarray(aux["loss"]))
