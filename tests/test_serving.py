@@ -9,6 +9,7 @@ from transmf_ad_tpu.serving import (
     export_inference,
     load_inference,
     make_inference_fn,
+    make_sharded_inference_fn,
 )
 from transmf_ad_tpu.train.optim import build_optimizer
 from transmf_ad_tpu.train.steps import create_state
@@ -70,6 +71,49 @@ class TestServing:
         probs = np.asarray(fn(x))
         assert probs.shape == (2, 2)
         np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    def test_sharded_matches_single_device(self, rng):
+        """Batch-sharded SPMD inference over a data-parallel mesh returns
+        the same probabilities as the single-device forward, with the
+        output sharded over the data axis."""
+        import pytest
+
+        from transmf_ad_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        state, shape = _state(rng)
+        mesh = make_mesh({"data": 8})
+        fn = make_sharded_inference_fn(state, ("MRI", "PET"), True, mesh)
+        live = make_inference_fn(state, ("MRI", "PET"), True)
+        mri = jnp.asarray(rng.standard_normal((8, *shape)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((8, *shape)), jnp.float32)
+        probs = fn(mri, pet)
+        assert probs.shape == (8, 2)
+        assert len(probs.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(probs),
+                                   np.asarray(live(mri, pet)), atol=1e-5)
+
+    def test_sharded_data_x_model_mesh(self, rng):
+        """data=4 x model=2 mesh: tensor-parallel param placement composes
+        with the batch-sharded serving path (XLA inserts the collectives)
+        and still matches the single-device result."""
+        import pytest
+
+        from transmf_ad_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        state, shape = _state(rng)
+        mesh = make_mesh({"data": 4, "model": 2})
+        fn = make_sharded_inference_fn(state, ("MRI", "PET"), True, mesh)
+        live = make_inference_fn(state, ("MRI", "PET"), True)
+        mri = jnp.asarray(rng.standard_normal((4, *shape)), jnp.float32)
+        pet = jnp.asarray(rng.standard_normal((4, *shape)), jnp.float32)
+        probs = fn(mri, pet)
+        assert probs.shape == (4, 2)
+        np.testing.assert_allclose(np.asarray(probs),
+                                   np.asarray(live(mri, pet)), atol=1e-5)
 
     def test_artifact_matches_trained_checkpoint(self, rng, tmp_path):
         """Export -> restore-from-checkpoint -> export again produces the

@@ -33,6 +33,54 @@ def make_inference_fn(state, modalities: Sequence[str], adversarial: bool):
     return infer
 
 
+def make_sharded_inference_fn(state, modalities: Sequence[str],
+                              adversarial: bool, mesh,
+                              data_axis: str = "data",
+                              model_axis: str = "model"):
+    """Mesh-sharded eval forward: volumes -> probabilities, SPMD.
+
+    Serving throughput past the single-chip frontier (batch 128 at crop
+    resolution is the measured single-chip optimum; larger batches hit
+    the remote-compile ceiling — docs/PERFORMANCE.md "Inference /
+    serving") scales on the data axis of a `jax.sharding.Mesh`: inputs
+    shard on the leading batch axis over `data_axis`, params follow
+    `parallel.param_shardings` (column-sharded over `model_axis` when
+    its size > 1, else fully replicated) and XLA's SPMD partitioner
+    inserts the collectives. Batch sizes must divide the data-axis size
+    (pad the final partial batch, as `DeviceFeed(pad_to=...)` does for
+    training). The reference has no serving path at all.
+    """
+    from .parallel import batch_sharding, param_shardings, replicated
+
+    rep = replicated(mesh)
+    p_sh = param_shardings(state.params, mesh, model_axis)
+    variables = {
+        "params": jax.tree_util.tree_map(jax.device_put, state.params, p_sh),
+        "batch_stats": jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state.batch_stats),
+    }
+    apply_fn = state.apply_fn
+    b_sh = batch_sharding(mesh, data_axis)
+
+    def infer(vars_, *vols):
+        out = apply_fn(vars_, *[v[..., None] for v in vols], train=False)
+        logits = out[0] if adversarial else out
+        return jax.nn.softmax(logits, axis=-1)
+
+    var_sh = {
+        "params": p_sh,
+        "batch_stats": jax.tree_util.tree_map(lambda _: rep,
+                                              state.batch_stats),
+    }
+    jitted = jax.jit(infer, in_shardings=(var_sh, *([b_sh] * len(modalities))),
+                     out_shardings=b_sh)
+
+    def fn(*vols):
+        return jitted(variables, *vols)
+
+    return fn
+
+
 def export_inference(state, modalities: Sequence[str], adversarial: bool,
                      path: str, input_shape: Tuple[int, ...],
                      batch_size=None, dtype=jnp.float32) -> str:
