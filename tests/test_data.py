@@ -318,6 +318,7 @@ class TestTransferDtype:
         assert out["MRI"].dtype == np.dtype(jnp.bfloat16)
         assert out["MRI"].shape[0] == 4 and out["mask"].tolist() == [1, 1, 1, 0]
 
+    @pytest.mark.slow
     def test_bf16_feed_trains(self, adni_root, tmp_path):
         """End-to-end: a bfloat16-compute model fed bfloat16 volumes takes a
         finite train step whose logits track the float32-fed step."""

@@ -54,6 +54,7 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.slow
     def test_grad_parity_4k_tokens(self, rng):
         q, k, v = _mk(rng, 1, 2, 4104, 4104, 64)
         scale = 64**-0.5

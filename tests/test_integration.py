@@ -73,6 +73,7 @@ class TestKFoldSingle:
 
 
 class TestKFoldAdversarial:
+    @pytest.mark.slow
     def test_transformer_fusion_run(self, adni_root, tmp_path):
         opt = _opt(adni_root, tmp_path, model="Transformer", num_folds=2,
                    batch_size=3)
@@ -264,6 +265,7 @@ class TestEvaluateCLI:
         assert out.returncode == 0, out.stderr[-2000:]
         assert "accuracy:" in out.stdout
 
+    @pytest.mark.slow
     def test_evaluate_from_torch_checkpoint(self, adni_root, tmp_path):
         """A reference-trained torch `.pt` evaluates directly:
         evaluate.py --checkpoint x.pt routes through

@@ -41,6 +41,7 @@ class TestSNet:
         leaf = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
         assert np.abs(np.asarray(leaf)).sum() > 0
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("min_mb", ["0", "0.01", "96"])
     def test_selective_remat_matches_no_remat(self, rng, monkeypatch, min_mb):
         """Selective per-block remat (every threshold: all blocks wrapped,
@@ -653,6 +654,7 @@ class TestStemXStatsBlockedDw:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.slow
     def test_convbnact_blocked_stem_clipped_tail_matches_xla(self, rng):
         """ConvBNAct routing through the CLIPPED-TAIL blocked regime
         (over-VMEM Z=399 has no 128-aligned divisor chunk -> tz=128,
@@ -1009,6 +1011,7 @@ class TestBcPoolFused:
             np.testing.assert_allclose(np.asarray(dbc), np.asarray(db1),
                                        rtol=2e-3, atol=1e-3)
 
+    @pytest.mark.slow
     def test_z_blocked_path_parity(self, rng, monkeypatch):
         """Force the pooled-z blocking (the full-resolution stage-1 route,
         where a single full-Z row set overflows scoped VMEM) by shrinking

@@ -165,6 +165,7 @@ class TestShardMapKernels:
                          jax.device_put(key, replicated(mesh)))
         return (s1, aux1), (s2, aux2)
 
+    @pytest.mark.slow
     def test_cnn_ad_kernels_sharded_matches_single(self, rng):
         """Stem conv+stats, fused affine-act-pool, avg pool, ManualBN psum,
         GRL and the SGD update — sharded grads/stats must equal the

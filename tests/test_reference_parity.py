@@ -339,6 +339,7 @@ class TestADVITParity:
 
 
 class TestMnetParity:
+    @pytest.mark.slow
     def test_eval_logits_match_reference(self, rng):
         """Mnet at the FULL reference geometry (91,109,91): map every
         slice/spatial conv + BN and the fc head into the torch reference
