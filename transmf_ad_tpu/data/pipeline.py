@@ -53,7 +53,7 @@ class VolumeSource:
     (requires `normalize=True`): RAM cache, H2D transfer and the HBM
     dataset cache all shrink to a QUARTER of float32 / HALF of bfloat16.
     The training/eval steps dequantize on device (q/255, fused into the
-    input chain — `train.steps.dequantize_inputs`). Quantization step
+    input chain — `train.steps.dequantize_input`). Quantization step
     1/255 = 0.0039 is the same order as bfloat16's relative precision
     (2^-8) at mid-range intensities; opt-in for feed-bound pipelines
     (see docs/PERFORMANCE.md "Streamed-feed ceiling").
