@@ -34,6 +34,9 @@ None if its measurement fails, e.g. during a tunnel outage):
     host feed (DeviceFeed), for the A/B delta. Through the axon tunnel
     this is H2D-bandwidth-bound at ~40 MB/s (scripts/bench_feed.py
     measures the raw link; docs/PERFORMANCE.md "Streamed-feed ceiling").
+  - hybrid_epoch_vols_per_sec: same epochs through the hot/cold HBM tier
+    (HybridCachedFeed) at the documented ~89%-hot operating point — the
+    over-HBM-budget/first-epoch story (docs/PERFORMANCE.md).
 Skip knobs: BENCH_FULLRES=0, BENCH_CACHED=0.
 """
 
@@ -178,9 +181,11 @@ def bench_fullres():
     return FULLRES_BATCH / dt
 
 
-def bench_epochs(state, step):
+def bench_epochs(state, step, time_left=lambda need: True):
     """Delivered real-data epochs: decoded NIfTI files -> HBM-cached vs
-    streaming feed, wall-clock volumes/s (median of 5 epochs each)."""
+    streaming vs hybrid hot/cold feed, wall-clock volumes/s (median of 5
+    epochs; 3 for the hybrid arm). The hybrid arm runs only if `time_left`
+    says the full-res phase's reserve still fits afterwards."""
     import numpy as np
 
     import jax
@@ -220,7 +225,18 @@ def bench_epochs(state, step):
     _state = [state]
     cached = run_epochs(DeviceCachedFeed(loader, mesh=None, pad_to=BATCH))
     streamed = run_epochs(DeviceFeed(loader, depth=2, pad_to=BATCH))
-    return cached, streamed
+    # hybrid hot/cold tier at the documented ~89%-hot operating point
+    # (budget forced below the dataset so the tier engages): per batch
+    # only the cold rows cross the link (docs/PERFORMANCE.md). Skipped
+    # (None) if running it would eat the full-res phase's 420 s reserve.
+    hybrid = None
+    if time_left(500):
+        from transmf_ad_tpu.data.device_cache import (HybridCachedFeed,
+                                                      cache_bytes)
+        hybrid_feed = HybridCachedFeed(
+            loader, pad_to=BATCH, budget=int(0.9 * cache_bytes(loader, None)))
+        hybrid = run_epochs(hybrid_feed, n_epochs=3)
+    return cached, streamed, hybrid
 
 
 def _start_watchdog(budget: float, partial: dict):
@@ -330,7 +346,7 @@ def main():
     # ALWAYS prints (a phase that cannot fit is skipped -> null field);
     # each stashes its result into `partial` so a later hang still
     # reports everything measured so far (see _start_watchdog).
-    trace_ms = fullres = cached = streamed = None
+    trace_ms = fullres = cached = streamed = hybrid = None
     achieved_tf = roofline_tf = pct = None
     try:
         ms, state = bench_trace(state, step, batch)
@@ -353,10 +369,12 @@ def main():
         pass
     if os.environ.get("BENCH_CACHED", "1") != "0" and time_left(180):
         try:
-            cached, streamed = bench_epochs(state, step)
+            cached, streamed, hybrid = bench_epochs(state, step, time_left)
             cached, streamed = round(cached, 1), round(streamed, 1)
+            hybrid = round(hybrid, 1) if hybrid is not None else None
             partial.update(cached_epoch_vols_per_sec=cached,
-                           stream_epoch_vols_per_sec=streamed)
+                           stream_epoch_vols_per_sec=streamed,
+                           hybrid_epoch_vols_per_sec=hybrid)
         except Exception:
             pass
     # full-res last: its first compile is the most expensive (~2-5 min
@@ -382,6 +400,7 @@ def main():
         "fullres_batch": FULLRES_BATCH,
         "cached_epoch_vols_per_sec": cached,
         "stream_epoch_vols_per_sec": streamed,
+        "hybrid_epoch_vols_per_sec": hybrid,
     }))
 
 
